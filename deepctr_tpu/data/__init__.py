@@ -1,0 +1,28 @@
+"""Data layer: schemas, parsers, synthetic data, streaming pipeline, cache.
+
+Reference parity: component C3 (SURVEY.md §2.1) — yx/libsvm parsing, one-hot
+index utilities, batch slicing — redesigned as packed per-field int32 ID
+tensors with a prefetching host pipeline (BASELINE.json:5).
+"""
+
+from .schema import FieldSpec, Schema, ipinyou_like_schema, make_schema
+from .parser import parse_yx_file, parse_yx_lines, pack_ids
+from .pipeline import Batch, DevicePrefetcher, epoch_iterator, minibatches
+from .synthetic import SyntheticDataset, generate, write_yx_file
+
+__all__ = [
+    "FieldSpec",
+    "Schema",
+    "ipinyou_like_schema",
+    "make_schema",
+    "parse_yx_file",
+    "parse_yx_lines",
+    "pack_ids",
+    "Batch",
+    "DevicePrefetcher",
+    "epoch_iterator",
+    "minibatches",
+    "SyntheticDataset",
+    "generate",
+    "write_yx_file",
+]

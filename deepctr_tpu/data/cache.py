@@ -1,0 +1,70 @@
+"""Pre-tokenised binary cache format.
+
+SURVEY.md §7 ("host input pipeline throughput — text parsing will bottleneck
+a v5e; needs pre-tokenized binary cache format"): after parsing a yx text
+file once, persist the packed tensors so subsequent epochs/jobs are a single
+mmap-able read instead of a re-parse.
+
+Layout: ``<path>.npz`` containing ``ids`` (int32[N, S]), ``labels``
+(float32[N]) and the schema JSON, plus a format version for forward compat.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .schema import Schema
+
+_VERSION = 1
+
+
+def write_cache(path: str, ids: np.ndarray, labels: np.ndarray, schema: Schema) -> None:
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp,
+        version=np.int64(_VERSION),
+        ids=ids.astype(np.int32),
+        labels=labels.astype(np.float32),
+        schema=np.frombuffer(schema.to_json().encode(), dtype=np.uint8),
+    )
+    # np.savez appends .npz if missing; normalise
+    src = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(src, path)
+
+
+def read_cache(path: str) -> tuple[np.ndarray, np.ndarray, Schema]:
+    with np.load(path) as z:
+        if int(z["version"]) != _VERSION:
+            raise ValueError(f"cache version mismatch: {int(z['version'])}")
+        ids = z["ids"]
+        labels = z["labels"]
+        schema = Schema.from_json(bytes(z["schema"]).decode())
+    return ids, labels, schema
+
+
+def cache_yx_file(
+    yx_path: str, schema: Schema, cache_path: str | None = None, use_native: bool = True
+) -> str:
+    """Parse a yx file (native parser when available) and persist the cache."""
+    cache_path = cache_path or yx_path + ".cache.npz"
+    if os.path.exists(cache_path) and os.path.getmtime(cache_path) >= os.path.getmtime(
+        yx_path
+    ):
+        return cache_path
+    labels = ids = None
+    if use_native:
+        try:
+            from . import native
+
+            labels, ids = native.parse_yx_file(yx_path, schema)
+        except Exception:
+            pass
+    if ids is None:
+        from . import parser
+
+        labels, ids = parser.parse_yx_file(yx_path, schema)
+    write_cache(cache_path, ids, labels, schema)
+    return cache_path

@@ -1,0 +1,108 @@
+"""ctypes bindings for the native yx parser (built on demand with g++).
+
+No pybind11 in this image, so the C++ side is a plain ``extern "C"`` shared
+library loaded via ctypes.  The compiled artifact is cached next to the
+source keyed by a source hash, so repeated imports don't rebuild.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "parser.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_HERE, f"_yx_parser_{digest}.so")
+    if os.path.exists(out):
+        return out
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", out + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError) as e:
+        stderr = getattr(e, "stderr", b"") or b""
+        raise NativeBuildError(f"native parser build failed: {stderr.decode()[:500]}")
+    os.replace(out + ".tmp", out)
+    return out
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        with _LOCK:
+            if _LIB is None:
+                lib = ctypes.CDLL(_build())
+                lib.yx_count_rows.restype = ctypes.c_int64
+                lib.yx_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+                lib.yx_parse.restype = ctypes.c_int64
+                lib.yx_parse.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                    ctypes.c_int32,
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    ctypes.c_int32, ctypes.c_int32,
+                    np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    ctypes.c_int64,
+                ]
+                _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except NativeBuildError:
+        return False
+
+
+def parse_yx_bytes(data: bytes, schema) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a whole yx byte buffer -> (labels float32[B], ids int32[B, S])."""
+    lib = _lib()
+    n = lib.yx_count_rows(data, len(data))
+    bounds = np.cumsum([f.vocab_size for f in schema.fields]).astype(np.int64)
+    slot_offsets = schema.slot_offsets.astype(np.int32)
+    max_lens = np.asarray([f.max_len for f in schema.fields], dtype=np.int32)
+    labels = np.empty(n, dtype=np.float32)
+    ids = np.empty((n, schema.num_slots), dtype=np.int32)
+    wrote = lib.yx_parse(
+        data, len(data), bounds, len(schema.fields), slot_offsets, max_lens,
+        schema.num_slots, schema.pad_id, labels, ids.reshape(-1), n,
+    )
+    if wrote < 0:
+        raise RuntimeError(f"yx_parse failed with code {wrote}")
+    return labels[:wrote], ids[:wrote]
+
+
+def parse_yx_lines(lines, schema) -> tuple[np.ndarray, np.ndarray]:
+    """Line-list API matching deepctr_tpu.data.parser.parse_yx_lines."""
+    if lines and isinstance(lines[0], str):
+        data = ("\n".join(lines) + "\n").encode()
+    else:
+        data = b"\n".join(lines) + b"\n"
+    return parse_yx_bytes(data, schema)
+
+
+def parse_yx_file(path: str, schema) -> tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        return parse_yx_bytes(f.read(), schema)

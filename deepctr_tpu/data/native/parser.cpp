@@ -1,0 +1,131 @@
+// Native yx/libsvm parser — the host-side hot path of the input pipeline.
+//
+// The reference's data layer is Python text parsing over a fully-in-RAM
+// dataset (SURVEY.md §1, C3). At TPU speeds host parsing is the projected
+// bottleneck (SURVEY.md §3.5c), so this is a single-pass, allocation-free
+// C++ scanner: bytes in, packed (labels, int32[B,S] global-id slots) out,
+// with per-field slot routing identical to deepctr_tpu.data.parser.pack_ids.
+//
+// Exposed via ctypes (no pybind11 in this image); built on demand by
+// deepctr_tpu/data/native/__init__.py.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  return p;
+}
+
+// Field index of a global id via branchless-ish linear/binary search over
+// cumulative vocab bounds. num_fields is small (~16) so linear scan wins.
+inline int32_t field_of(int64_t gid, const int64_t* bounds, int32_t nf) {
+  for (int32_t f = 0; f < nf; ++f) {
+    if (gid < bounds[f]) return f;
+  }
+  return nf;  // out of range
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count newline-terminated non-empty rows (for output allocation).
+int64_t yx_count_rows(const char* buf, int64_t len) {
+  int64_t rows = 0;
+  const char* p = buf;
+  const char* end = buf + len;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = nl ? nl : end;
+    const char* q = skip_ws(p, line_end);
+    if (q < line_end) ++rows;
+    p = nl ? nl + 1 : end;
+  }
+  return rows;
+}
+
+// Parse yx text into labels + packed per-field id slots.
+//   field_bounds: int64[num_fields] cumulative vocab sizes (exclusive upper
+//                 bounds of each field's global-id range).
+//   slot_offsets: int32[num_fields] first packed slot per field.
+//   max_lens:     int32[num_fields] slots per field.
+// ids_out must be pre-filled by the CALLER?  No: this function fills padding
+// itself. Overflowing ids (beyond a field's max_len) and out-of-vocab ids are
+// dropped, matching pack_ids(strict=False).
+// Returns rows written, or -1 if max_rows would be exceeded.
+int64_t yx_parse(const char* buf, int64_t len, const int64_t* field_bounds,
+                 int32_t num_fields, const int32_t* slot_offsets,
+                 const int32_t* max_lens, int32_t num_slots, int32_t pad_id,
+                 float* labels_out, int32_t* ids_out, int64_t max_rows) {
+  int64_t row = 0;
+  const char* p = buf;
+  const char* end = buf + len;
+  // cursor[f] = ids already packed for field f on the current row
+  int32_t cursor[256];
+  if (num_fields > 256) return -2;
+
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = nl ? nl : end;
+    const char* q = skip_ws(p, line_end);
+    if (q >= line_end) {  // blank line
+      p = nl ? nl + 1 : end;
+      continue;
+    }
+    if (row >= max_rows) return -1;
+
+    // label: integer or float before first space
+    bool neg = false;
+    if (*q == '-') { neg = true; ++q; }
+    double label = 0.0;
+    while (q < line_end && *q >= '0' && *q <= '9') {
+      label = label * 10.0 + (*q - '0');
+      ++q;
+    }
+    if (q < line_end && *q == '.') {  // fractional labels tolerated
+      ++q;
+      double scale = 0.1;
+      while (q < line_end && *q >= '0' && *q <= '9') {
+        label += (*q - '0') * scale;
+        scale *= 0.1;
+        ++q;
+      }
+    }
+    labels_out[row] = static_cast<float>(neg ? -label : label);
+
+    int32_t* ids_row = ids_out + row * num_slots;
+    for (int32_t s = 0; s < num_slots; ++s) ids_row[s] = pad_id;
+    for (int32_t f = 0; f < num_fields; ++f) cursor[f] = 0;
+
+    const int64_t vocab = field_bounds[num_fields - 1];
+    while (q < line_end) {
+      q = skip_ws(q, line_end);
+      if (q >= line_end) break;
+      // token: <gid>[:val]
+      int64_t gid = 0;
+      bool any = false;
+      while (q < line_end && *q >= '0' && *q <= '9') {
+        gid = gid * 10 + (*q - '0');
+        ++q;
+        any = true;
+      }
+      // skip ":val" (value always 1 in the reference format)
+      while (q < line_end && *q != ' ' && *q != '\t') ++q;
+      if (!any || gid >= vocab) continue;
+      int32_t f = field_of(gid, field_bounds, num_fields);
+      if (f >= num_fields) continue;
+      int32_t k = cursor[f];
+      if (k >= max_lens[f]) continue;
+      ids_row[slot_offsets[f] + k] = static_cast<int32_t>(gid);
+      cursor[f] = k + 1;
+    }
+    ++row;
+    p = nl ? nl + 1 : end;
+  }
+  return row;
+}
+
+}  // extern "C"

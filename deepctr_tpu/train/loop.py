@@ -1,0 +1,190 @@
+"""Training loop: epochs, per-epoch eval, early stopping.
+
+Reference parity: SURVEY.md §3.1 hot loop — "for epoch: shuffle; for
+minibatch: train_fn(...); per-epoch: pred_fn(test) -> sklearn AUC, logloss;
+early stop".  TPU-native changes: the minibatch step is one jitted program;
+eval streams through a jitted forward with on-host exact AUC (and an
+on-device histogram AUC for sharded eval); batches are prefetched to device
+on a background thread.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import numpy as np
+
+from ..data.pipeline import Batch, DevicePrefetcher, minibatches
+from ..data.schema import Schema
+from ..models.base import Model
+from ..utils import metrics as M
+from ..utils.logging import MetricsLogger
+from .step import TrainState, init_state, make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    history: list[dict]
+    best_auc: float
+    best_epoch: int
+
+
+def evaluate(
+    eval_step: Callable,
+    table,
+    dense,
+    ids: np.ndarray,
+    labels: np.ndarray,
+    schema: Schema,
+    batch_size: int = 8192,
+) -> dict:
+    """Full-dataset eval -> {auc, logloss, rmse}."""
+    logits_all = []
+    for b in minibatches(
+        ids, labels, batch_size, schema=schema, shuffle=False, drop_remainder=False
+    ):
+        logits = np.asarray(eval_step(table, dense, b.ids))
+        logits_all.append(logits[b.weights > 0])
+    logits_np = np.concatenate(logits_all)
+    probs = 1.0 / (1.0 + np.exp(-logits_np))
+    return {
+        "auc": M.exact_auc(labels, probs),
+        "logloss": M.logloss(labels, probs),
+        "rmse": M.rmse(labels, probs),
+    }
+
+
+def fit(
+    model: Model,
+    schema: Schema,
+    train_ids: np.ndarray,
+    train_labels: np.ndarray,
+    test_ids: np.ndarray,
+    test_labels: np.ndarray,
+    *,
+    sparse_opt,
+    dense_opt,
+    batch_size: int = 1024,
+    epochs: int = 10,
+    l2: float = 0.0,
+    seed: int = 0,
+    early_stop_patience: int = 2,
+    state: TrainState | None = None,
+    logger: MetricsLogger | None = None,
+    prefetch: bool = True,
+) -> FitResult:
+    """Train with per-epoch eval and early stop on held-out AUC.
+
+    Mirrors the reference's training procedure (SURVEY.md §2.3: epochs over
+    shuffled minibatches, per-epoch test eval, early stop on AUC).
+    """
+    step = make_train_step(model, schema, sparse_opt, dense_opt, l2=l2)
+    eval_step = make_eval_step(model, schema)
+    if state is None:
+        state = init_state(model, schema, sparse_opt, dense_opt, seed=seed)
+
+    history: list[dict] = []
+    best_auc, best_epoch, since_best = -np.inf, -1, 0
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        it = minibatches(
+            train_ids,
+            train_labels,
+            batch_size,
+            schema=schema,
+            shuffle=True,
+            seed=seed + epoch,
+            drop_remainder=True,
+        )
+        if prefetch:
+            it = DevicePrefetcher(it, depth=2)
+        n_batches = 0
+        loss_sum = 0.0
+        for b in it:
+            state, m = step(state, b.ids, b.labels, b.weights)
+            loss_sum += float(m.loss)
+            n_batches += 1
+        train_time = time.perf_counter() - t0
+        ev = evaluate(
+            eval_step, state.table, state.dense, test_ids, test_labels, schema
+        )
+        rec = {
+            "epoch": epoch,
+            "train_loss": loss_sum / max(n_batches, 1),
+            "examples_per_s": n_batches * batch_size / max(train_time, 1e-9),
+            **ev,
+        }
+        history.append(rec)
+        if logger is not None:
+            logger.log(rec)
+        if ev["auc"] > best_auc:
+            best_auc, best_epoch, since_best = ev["auc"], epoch, 0
+        else:
+            since_best += 1
+            if since_best > early_stop_patience:
+                break
+    return FitResult(
+        state=state, history=history, best_auc=float(best_auc), best_epoch=best_epoch
+    )
+
+
+def pretrain_snn(
+    pretrainer,
+    schema: Schema,
+    hidden1: int,
+    train_ids: np.ndarray,
+    *,
+    sparse_opt,
+    dense_lr: float = 0.1,
+    batch_size: int = 1024,
+    epochs: int = 1,
+    seed: int = 0,
+    logger: MetricsLogger | None = None,
+):
+    """Unsupervised pretraining phase (SURVEY.md §3.4 phase 1).
+
+    Returns ``(table, b1)`` to seed SNNModel's supervised phase.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.snn import init_pretrain_dense
+    from .step import make_pretrain_step
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    table = 0.01 * jax.random.normal(
+        init_rng, (schema.padded_vocab_size, hidden1), jnp.float32
+    )
+    table = table.at[schema.pad_id].set(0.0)
+    dense = init_pretrain_dense(schema, hidden1)
+    sparse_state = sparse_opt.init(table)
+    pstep = make_pretrain_step(pretrainer, schema, sparse_opt, dense_lr)
+
+    dummy_labels = np.zeros(train_ids.shape[0], np.float32)
+    for epoch in range(epochs):
+        losses = []
+        for b in minibatches(
+            train_ids,
+            dummy_labels,
+            batch_size,
+            schema=schema,
+            shuffle=True,
+            seed=seed + epoch,
+            drop_remainder=True,
+        ):
+            table, sparse_state, dense, rng, loss = pstep(
+                table, sparse_state, dense, rng, b.ids
+            )
+            losses.append(float(loss))
+        if logger is not None:
+            logger.log(
+                {
+                    "pretrain_epoch": epoch,
+                    "pretrain_loss": float(np.mean(losses)) if losses else float("nan"),
+                }
+            )
+    return table, dense["b1"]

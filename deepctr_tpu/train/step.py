@@ -1,0 +1,163 @@
+"""Jitted train/eval step builders — the reference's compiled-function
+boundary, redesigned for XLA.
+
+Reference parity: SURVEY.md §3.1 — the reference's hot loop calls a compiled
+Theano ``train_fn(idx_batch, y)`` per minibatch (graph: gather -> forward ->
+xent -> T.grad -> SGD with sparse ``inc_subtensor`` updates).  Here the
+whole step — gather, forward, backward, deduplicated sparse table update,
+dense optimizer update — is ONE ``jax.jit`` program, traced once per shape.
+
+Key structural difference from a naive port: the loss is differentiated
+w.r.t. the **gathered rows** (shape [B, S, D]) and the dense pytree, never
+w.r.t. the [V, D] table, so no dense table-gradient exists at any point and
+the table update costs O(batch) regardless of vocab size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.schema import Schema
+from ..models.base import Model, lazy_l2, weighted_bce_with_logits
+from ..optim.sparse import SparseAdagrad, SparseSgd
+
+
+class TrainState(NamedTuple):
+    step: jax.Array          # int32 scalar
+    table: jax.Array         # [V+1, D]
+    sparse_state: Any
+    dense: Any
+    dense_state: Any
+    rng: jax.Array
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    logits: jax.Array
+
+
+def init_state(
+    model: Model,
+    schema: Schema,
+    sparse_opt,
+    dense_opt,
+    seed: int = 0,
+) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init_params(init_rng, schema)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        table=params["table"],
+        sparse_state=sparse_opt.init(params["table"]),
+        dense=params["dense"],
+        dense_state=dense_opt.init(params["dense"]),
+        rng=rng,
+    )
+
+
+def make_train_step(
+    model: Model,
+    schema: Schema,
+    sparse_opt,
+    dense_opt,
+    l2: float = 0.0,
+    jit: bool = True,
+):
+    """Build ``step(state, ids, labels, weights) -> (state, metrics)``."""
+    pad_id = schema.pad_id
+
+    def step(state: TrainState, ids, labels, weights):
+        rng, step_rng = jax.random.split(state.rng)
+        mask = (ids != pad_id).astype(jnp.float32)
+        rows = jnp.take(state.table, ids, axis=0)  # [B, S, D]
+
+        def loss_fn(rows_, dense_):
+            logits = model.apply_rows(dense_, rows_, mask, train=True, rng=step_rng)
+            loss = weighted_bce_with_logits(logits, labels, weights)
+            loss = loss + lazy_l2(rows_, mask, l2)
+            return loss, logits
+
+        (loss, logits), (g_rows, g_dense) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rows, state.dense)
+
+        occ_ids = ids.reshape(-1)
+        occ_rows = g_rows.reshape(-1, g_rows.shape[-1])
+        table, sparse_state = sparse_opt.update(
+            state.table, state.sparse_state, occ_ids, occ_rows
+        )
+        updates, dense_state = dense_opt.update(g_dense, state.dense_state, state.dense)
+        dense = optax.apply_updates(state.dense, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            table=table,
+            sparse_state=sparse_state,
+            dense=dense,
+            dense_state=dense_state,
+            rng=rng,
+        )
+        return new_state, StepMetrics(loss=loss, logits=logits)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_eval_step(model: Model, schema: Schema, jit: bool = True):
+    """Build ``eval_step(table, dense, ids) -> logits`` (no dropout)."""
+    pad_id = schema.pad_id
+
+    def eval_step(table, dense, ids):
+        mask = (ids != pad_id).astype(jnp.float32)
+        rows = jnp.take(table, ids, axis=0)
+        return model.apply_rows(dense, rows, mask, train=False, rng=None)
+
+    if jit:
+        eval_step = jax.jit(eval_step)
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# SNN unsupervised pretraining step (shared by DAE and RBM)
+# ---------------------------------------------------------------------------
+
+
+def make_pretrain_step(
+    pretrainer,
+    schema: Schema,
+    sparse_opt,
+    dense_lr: float,
+    jit: bool = True,
+):
+    """Build ``pstep(table, sparse_state, dense, rng, ids) -> (...)`` where
+    dense = {"b1", "vbias"} (init_pretrain_dense).  vbias is updated with
+    plain SGD through a deduplicated sparse scatter as well."""
+    from ..models.snn import field_sampling
+    from ..ops.scatter import scatter_add_dedup
+
+    fs = field_sampling(schema)
+    pad_id = schema.pad_id
+
+    def pstep(table, sparse_state, dense, rng, ids):
+        rng, sub = jax.random.split(rng)
+        loss, occ_ids, occ_rows, dgrads = pretrainer.loss_and_grads(
+            table, dense, ids, pad_id, fs, sub
+        )
+        table, sparse_state = sparse_opt.update(table, sparse_state, occ_ids, occ_rows)
+        vbias = scatter_add_dedup(
+            dense["vbias"][:, None],
+            dgrads["vbias_ids"],
+            -dense_lr * dgrads["vbias_grads"][:, None],
+        )[:, 0]
+        dense = {"b1": dense["b1"] - dense_lr * dgrads["b1"], "vbias": vbias}
+        return table, sparse_state, dense, rng, loss
+
+    if jit:
+        pstep = jax.jit(pstep, donate_argnums=(0, 1, 2))
+    return pstep

@@ -1,0 +1,100 @@
+"""Checkpoint/resume + the FM->FNN init handoff.
+
+Reference parity: SURVEY.md §5 checkpoint row — the reference's one real
+persistence path is FM persisting (w, v) arrays for FNN to consume
+(SURVEY.md §3.2).  Here that becomes a first-class "init-from-checkpoint"
+feature, plus full train-state checkpointing for resume.
+
+Format: flat ``np.savez`` of the flattened pytree leaves + a JSON treedef
+manifest — dependency-light, and table shards can be saved per-host when
+row-sharded (each host saves only rows it owns; see parallel/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, str(treedef)
+
+
+def save_pytree(path: str, tree) -> None:
+    leaves, treedef = _flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    tmp = path + ".tmp"
+    np.savez(tmp, manifest=json.dumps({"n": len(leaves), "treedef": treedef}), **arrays)
+    src = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(src, path)
+
+
+def load_pytree(path: str, like):
+    """Load leaves saved by save_pytree into the structure of ``like``."""
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(str(z["manifest"]))
+        leaves = [z[f"leaf_{i}"] for i in range(manifest["n"])]
+    _, treedef = jax.tree_util.tree_flatten(like)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_train_state(path: str, state) -> None:
+    save_pytree(path, state)
+
+
+def load_train_state(path: str, like):
+    return load_pytree(path, like)
+
+
+# ---------------------------------------------------------------------------
+# FM -> FNN handoff (SURVEY.md C5/C6: FNN bottom layer z_f = (w_i, v_i))
+# ---------------------------------------------------------------------------
+
+
+def save_fm_embeddings(path: str, fm_table: jax.Array) -> None:
+    """Persist a trained FM's [V+1, 1+k] (w|v) table."""
+    save_pytree(path, {"fm_table": fm_table})
+
+
+def load_fm_embeddings(path: str) -> np.ndarray:
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(str(z["manifest"]))
+        assert manifest["n"] == 1
+        return z["leaf_0"]
+
+
+def init_fnn_from_fm(fnn_params: dict, fm_table: np.ndarray | jax.Array) -> dict:
+    """Replace FNN's embedding table with the trained FM (w|v) rows.
+
+    Table layouts match by construction ([V+1, 1+k], FM row = (w_i, v_i)),
+    so the handoff is a copy — the TPU-native equivalent of the reference's
+    pickle-and-reload (SURVEY.md §3.2, §3.1 "[pretrain input] load FM
+    weights (w_i, v_i) trained by FM.py").
+    """
+    import jax.numpy as jnp
+
+    fm_table = jnp.asarray(fm_table)
+    if fm_table.shape != fnn_params["table"].shape:
+        raise ValueError(
+            f"FM table {fm_table.shape} does not match FNN table "
+            f"{fnn_params['table'].shape}; train FM with the same schema and k"
+        )
+    return {**fnn_params, "table": fm_table}
+
+
+def init_snn_from_pretrain(snn_params: dict, table, b1) -> dict:
+    """Seed SNN's supervised phase from DAE/RBM pretraining output."""
+    import jax.numpy as jnp
+
+    table = jnp.asarray(table)
+    if table.shape != snn_params["table"].shape:
+        raise ValueError(
+            f"pretrained table {table.shape} != SNN table {snn_params['table'].shape}"
+        )
+    dense = dict(snn_params["dense"])
+    dense["b1"] = jnp.asarray(b1)
+    return {**snn_params, "table": table, "dense": dense}

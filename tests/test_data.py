@@ -1,0 +1,117 @@
+"""Data-layer unit tests (SURVEY.md §4: parser on crafted lines, field-offset
+packing, parser/native agreement, cache round-trip)."""
+
+import numpy as np
+import pytest
+
+from deepctr_tpu.data import (
+    Batch,
+    make_schema,
+    minibatches,
+    pack_ids,
+    parse_yx_lines,
+    synthetic,
+)
+from deepctr_tpu.data.cache import read_cache, write_cache
+from deepctr_tpu.data.pipeline import stream_yx_batches
+from deepctr_tpu.data.schema import Schema
+
+
+def test_schema_offsets():
+    s = make_schema([("a", 4), ("b", 8), ("tags", 10, 3)])
+    assert s.vocab_size == 22
+    assert s.pad_id == 22
+    assert list(s.offsets) == [0, 4, 12]
+    assert s.num_slots == 5
+    assert list(s.slot_field) == [0, 1, 2, 2, 2]
+    assert list(s.slot_offsets) == [0, 1, 2]
+    fields = s.field_of_global_id(np.array([0, 3, 4, 11, 12, 21]))
+    assert list(fields) == [0, 0, 1, 1, 2, 2]
+
+
+def test_parse_crafted_lines():
+    s = make_schema([("a", 4), ("b", 8), ("tags", 10, 3)])
+    lines = [
+        "1 0:1 5:1 13:1 15:1",
+        "0 3:1 4:1",
+        "1 2:1 11:1 12:1 14:1 16:1 21:1",  # 4 tag ids; max_len 3 -> drop last
+    ]
+    labels, ids = parse_yx_lines(lines, s)
+    assert labels.tolist() == [1.0, 0.0, 1.0]
+    assert ids[0].tolist() == [0, 5, 13, 15, s.pad_id]
+    assert ids[1].tolist() == [3, 4, s.pad_id, s.pad_id, s.pad_id]
+    assert ids[2].tolist() == [2, 11, 12, 14, 16]
+
+
+def test_pack_ids_out_of_range_dropped_and_strict():
+    s = make_schema([("a", 4)])
+    packed = pack_ids([np.array([0, 99])], s)
+    assert packed[0, 0] == 0
+    with pytest.raises(ValueError):
+        pack_ids([np.array([99])], s, strict=True)
+
+
+def test_yx_roundtrip_and_native_agreement(tmp_path, tiny_schema, tiny_dataset):
+    path = str(tmp_path / "sample.yx")
+    synthetic.write_yx_file(tiny_dataset, path)
+    labels, ids = __import__(
+        "deepctr_tpu.data.parser", fromlist=["parse_yx_file"]
+    ).parse_yx_file(path, tiny_schema)
+    np.testing.assert_array_equal(labels, tiny_dataset.labels)
+    np.testing.assert_array_equal(ids, tiny_dataset.ids)
+
+    from deepctr_tpu.data import native
+
+    if not native.available():
+        pytest.skip("no g++ toolchain")
+    nl, nids = native.parse_yx_file(path, tiny_schema)
+    np.testing.assert_array_equal(nl, labels)
+    np.testing.assert_array_equal(nids, ids)
+
+
+def test_minibatch_shapes_and_padding(tiny_schema, tiny_dataset):
+    bs = 100
+    n = tiny_dataset.ids.shape[0]
+    batches = list(
+        minibatches(
+            tiny_dataset.ids,
+            tiny_dataset.labels,
+            bs,
+            schema=tiny_schema,
+            shuffle=True,
+            seed=3,
+        )
+    )
+    assert all(b.ids.shape == (bs, tiny_schema.num_slots) for b in batches)
+    total_real = sum(int(b.weights.sum()) for b in batches)
+    assert total_real == n
+    # padding rows are pad_id with weight 0
+    last = batches[-1]
+    padded = last.weights == 0
+    assert (last.ids[padded] == tiny_schema.pad_id).all()
+
+
+def test_cache_roundtrip(tmp_path, tiny_schema, tiny_dataset):
+    p = str(tmp_path / "c.npz")
+    write_cache(p, tiny_dataset.ids, tiny_dataset.labels, tiny_schema)
+    ids, labels, schema = read_cache(p)
+    np.testing.assert_array_equal(ids, tiny_dataset.ids)
+    np.testing.assert_array_equal(labels, tiny_dataset.labels)
+    assert schema == tiny_schema
+
+
+def test_stream_yx_batches(tmp_path, tiny_schema, tiny_dataset):
+    path = str(tmp_path / "s.yx")
+    synthetic.write_yx_file(tiny_dataset, path)
+    bs = 256
+    got_ids, got_labels = [], []
+    for b in stream_yx_batches([path], tiny_schema, bs, chunk_lines=37):
+        keep = b.weights > 0
+        got_ids.append(b.ids[keep])
+        got_labels.append(b.labels[keep])
+    np.testing.assert_array_equal(np.concatenate(got_ids), tiny_dataset.ids)
+    np.testing.assert_array_equal(np.concatenate(got_labels), tiny_dataset.labels)
+
+
+def test_schema_json_roundtrip(tiny_schema):
+    assert Schema.from_json(tiny_schema.to_json()) == tiny_schema
