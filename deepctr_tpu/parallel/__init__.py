@@ -1,0 +1,37 @@
+"""Parallelism: device meshes, data-parallel steps, row-sharded tables.
+
+Reference parity note (SURVEY.md §2.4): the reference has NO parallelism —
+this package is the capability->TPU mapping mandated by the north star.
+TP/PP/CP/EP/sequence parallelism are explicit non-goals (no sequence axis
+exists in fixed-field CTR data); the scaling axes are batch (DP) and
+embedding-table rows (row sharding + all-to-all).
+"""
+
+from .mesh import DATA_AXIS, data_sharding, make_data_mesh, replicated, shard_batch_arrays
+from .dp import make_dp_train_step, replicate_state
+from .sharded import (
+    ShardedTrainState,
+    init_sharded_state,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    pack_table,
+    shard_rows,
+    unpack_table,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "data_sharding",
+    "make_data_mesh",
+    "replicated",
+    "shard_batch_arrays",
+    "make_dp_train_step",
+    "replicate_state",
+    "ShardedTrainState",
+    "init_sharded_state",
+    "make_sharded_eval_step",
+    "make_sharded_train_step",
+    "pack_table",
+    "shard_rows",
+    "unpack_table",
+]

@@ -1,0 +1,334 @@
+"""Row-sharded embedding tables with all-to-all ID/embedding exchange.
+
+The TPU-native replacement for the reference's single ``theano.shared``
+embedding matrix (SURVEY.md §2.4, BASELINE.json:5): embedding rows are
+sharded across the mesh's ``data`` axis with a deterministic modulo hash
+(``owner = id % N``), while the dense tower runs data-parallel on the same
+devices — the classic DLRM layout (cf. PAPERS.md 2-D sparse parallelism).
+
+Lookup protocol, inside one ``shard_map`` (all static shapes):
+
+1. bucket local ids by owner shard (stable sort + rank-in-bucket),
+   fixed per-owner capacity ``C`` with drop-on-overflow (SURVEY.md §7
+   "capacity padding + overflow policy"; drops are counted and reported);
+2. ``all_to_all`` the id buckets over the mesh axis (rides ICI);
+3. local gather from the resident shard (sentinel row ``R`` is a frozen
+   zero row serving padded request slots);
+4. ``all_to_all`` the gathered rows back; unsort to occurrence order.
+
+Backward runs the same route in reverse: occurrence gradients are bucketed
+with the SAME permutation, exchanged, then deduplicated and applied to the
+local shard rows by the sparse optimizer — each shard's Adagrad accumulator
+lives with its rows, so no optimizer-state traffic ever crosses chips.
+
+Storage layout: logical row ``g`` lives on shard ``g % N`` at local index
+``g // N``; the stored global array is ``[N*(R+1), D]`` sharded on axis 0,
+where ``R = cdiv(V_padded, N)`` and each shard's extra row ``R`` is the
+sentinel.  :func:`pack_table` / :func:`unpack_table` convert to/from the
+logical ``[V_padded, D]`` layout (used by checkpointing and FM->FNN init).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.schema import Schema
+from ..models.base import Model
+from .mesh import DATA_AXIS
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Stored <-> logical layout
+# ---------------------------------------------------------------------------
+
+
+def shard_rows(vocab_padded: int, num_shards: int) -> int:
+    """Logical rows per shard (excluding the sentinel row)."""
+    return _cdiv(vocab_padded, num_shards)
+
+
+def pack_table(logical: jax.Array, num_shards: int) -> jax.Array:
+    """[V_padded, D] logical -> [N*(R+1), D] stored (shard-major, sentinel
+    zero row appended per shard)."""
+    Vp, D = logical.shape
+    R = shard_rows(Vp, num_shards)
+    g = jnp.arange(Vp)
+    stored = jnp.zeros((num_shards, R + 1, D), logical.dtype)
+    stored = stored.at[g % num_shards, g // num_shards].set(logical)
+    return stored.reshape(num_shards * (R + 1), D)
+
+
+def unpack_table(stored: jax.Array, vocab_padded: int, num_shards: int) -> jax.Array:
+    """Inverse of :func:`pack_table`."""
+    R = stored.shape[0] // num_shards - 1
+    st = stored.reshape(num_shards, R + 1, -1)
+    g = jnp.arange(vocab_padded)
+    return st[g % num_shards, g // num_shards]
+
+
+# ---------------------------------------------------------------------------
+# Bucketing (static-shape) and the exchange protocol
+# ---------------------------------------------------------------------------
+
+
+class _Buckets(NamedTuple):
+    send: jax.Array      # int32[N, C] local row indices to request from each owner
+    order: jax.Array     # int32[M] stable sort permutation by owner
+    owner_s: jax.Array   # int32[M] owner of each sorted occurrence
+    rank: jax.Array      # int32[M] rank within its owner bucket
+    dropped: jax.Array   # int32 scalar — occurrences beyond capacity
+
+
+def _bucket_by_owner(flat_ids: jax.Array, n: int, sentinel: int, cap: int) -> _Buckets:
+    m = flat_ids.shape[0]
+    owner = flat_ids % n
+    local = flat_ids // n
+    order = jnp.argsort(owner, stable=True)
+    owner_s = owner[order]
+    local_s = local[order]
+    counts = jnp.bincount(owner, length=n)
+    starts = jnp.cumsum(counts) - counts
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[owner_s].astype(jnp.int32)
+    send = jnp.full((n, cap + 1), sentinel, jnp.int32)
+    send = send.at[owner_s, jnp.minimum(rank, cap)].set(local_s.astype(jnp.int32))
+    dropped = (rank >= cap).sum()
+    return _Buckets(send[:, :cap], order, owner_s, rank, dropped)
+
+
+def _exchange_lookup(table_shard: jax.Array, b: _Buckets, cap: int):
+    """all_to_all ids -> local gather -> all_to_all rows. Returns
+    (occurrence rows [M, D] in original order, recv ids [N, C])."""
+    recv = jax.lax.all_to_all(b.send, DATA_AXIS, 0, 0, tiled=True)   # [N, C]
+    rows_local = jnp.take(table_shard, recv, axis=0)                 # [N, C, D]
+    rows_back = jax.lax.all_to_all(rows_local, DATA_AXIS, 0, 0, tiled=True)
+    safe_rank = jnp.where(b.rank < cap, b.rank, 0)
+    rows_s = rows_back[b.owner_s, safe_rank]                         # [M, D]
+    rows_s = jnp.where((b.rank < cap)[:, None], rows_s, 0.0)
+    inv = jnp.argsort(b.order, stable=True)
+    return rows_s[inv], recv
+
+
+def _exchange_scatter_grads(g_occ: jax.Array, b: _Buckets, cap: int) -> jax.Array:
+    """Route occurrence grads [M, D] back to owner shards -> [N, C, D]."""
+    d = g_occ.shape[-1]
+    g_s = g_occ[b.order]
+    buf = jnp.zeros((b.send.shape[0], cap + 1, d), g_occ.dtype)
+    buf = buf.at[b.owner_s, jnp.minimum(b.rank, cap)].add(g_s)
+    buf = buf[:, :cap]
+    return jax.lax.all_to_all(buf, DATA_AXIS, 0, 0, tiled=True)
+
+
+# ---------------------------------------------------------------------------
+# Sharded train/eval steps
+# ---------------------------------------------------------------------------
+
+
+class ShardedTrainState(NamedTuple):
+    step: jax.Array       # replicated int32
+    table: jax.Array      # [N*(R+1), D] stored layout, sharded P(data)
+    sparse_state: Any     # same layout/sharding as table
+    dense: Any            # replicated
+    dense_state: Any      # replicated
+    rng: jax.Array        # replicated
+
+
+def _state_specs(state: ShardedTrainState):
+    sharded = P(DATA_AXIS)
+    rep = P()
+    return ShardedTrainState(
+        step=rep,
+        table=sharded,
+        sparse_state=jax.tree_util.tree_map(lambda _: sharded, state.sparse_state),
+        dense=jax.tree_util.tree_map(lambda _: rep, state.dense),
+        dense_state=jax.tree_util.tree_map(lambda _: rep, state.dense_state),
+        rng=rep,
+    )
+
+
+def init_sharded_state(
+    model: Model,
+    schema: Schema,
+    sparse_opt,
+    dense_opt,
+    mesh: Mesh,
+    seed: int = 0,
+) -> ShardedTrainState:
+    """Initialise params and place them: table row-sharded, dense replicated."""
+    n = int(np.prod(list(mesh.shape.values())))
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init_params(init_rng, schema)
+    stored = pack_table(params["table"], n)
+    sparse_state = sparse_opt.init(stored)
+    dense_state = dense_opt.init(params["dense"])
+    shd = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return ShardedTrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+        table=jax.device_put(stored, shd),
+        sparse_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shd), sparse_state
+        ),
+        dense=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params["dense"]),
+        dense_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), dense_state
+        ),
+        rng=jax.device_put(rng, rep),
+    )
+
+
+def make_sharded_train_step(
+    model: Model,
+    schema: Schema,
+    sparse_opt,
+    dense_opt,
+    mesh: Mesh,
+    l2: float = 0.0,
+    capacity_factor: float = 2.0,
+    template_state: ShardedTrainState | None = None,
+):
+    """Build the fully-sharded jitted train step.
+
+    Data-parallel batch + row-sharded table + replicated dense tower with
+    psum gradient sync (BASELINE.json:5).  Returns
+    ``step(state, ids, labels, weights) -> (state, (loss, dropped))`` where
+    ``dropped`` counts capacity-overflow occurrences (zero in healthy runs).
+    """
+    n = int(np.prod(list(mesh.shape.values())))
+    pad_id = schema.pad_id
+    Vp = schema.padded_vocab_size
+    R = shard_rows(Vp, n)
+    sentinel = R
+
+    def inner(state: ShardedTrainState, ids, labels, weights):
+        # shapes here are PER-DEVICE: ids [b_loc, S], table [R+1, D]
+        b_loc, S = ids.shape
+        m = b_loc * S
+        cap = max(1, min(m, int(capacity_factor * _cdiv(m, n))))
+        rng, step_rng = jax.random.split(state.rng)
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(DATA_AXIS))
+
+        flat = ids.reshape(-1)
+        buckets = _bucket_by_owner(flat, n, sentinel, cap)
+        occ_rows, recv = _exchange_lookup(state.table, buckets, cap)
+        rows = occ_rows.reshape(b_loc, S, -1)
+        mask = (ids != pad_id).astype(jnp.float32)
+
+        gw = jax.lax.psum(weights.sum(), DATA_AXIS)
+        gb = jnp.asarray(b_loc * n, jnp.float32)
+
+        def loss_fn(rows_, dense_):
+            logits = model.apply_rows(dense_, rows_, mask, train=True, rng=step_rng)
+            ls = jax.nn.log_sigmoid(logits)
+            lns = jax.nn.log_sigmoid(-logits)
+            per = -(labels * ls + (1.0 - labels) * lns)
+            loss_local = (per * weights).sum() / jnp.maximum(gw, 1.0)
+            if l2:
+                loss_local = loss_local + l2 * (
+                    jnp.square(rows_) * mask[..., None]
+                ).sum() / gb
+            return loss_local, logits
+
+        (loss_local, _logits), (g_rows, g_dense) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rows, state.dense)
+
+        # --- dense: psum grads, replicated optax update
+        g_dense = jax.lax.psum(g_dense, DATA_AXIS)
+        updates, dense_state = dense_opt.update(g_dense, state.dense_state, state.dense)
+        dense = optax.apply_updates(state.dense, updates)
+
+        # --- table: route occurrence grads to owner shards, dedupe, update
+        g_occ = g_rows.reshape(m, -1)
+        g_recv = _exchange_scatter_grads(g_occ, buckets, cap)       # [N, C, D]
+        occ_local_ids = recv.reshape(-1)
+        occ_grads = g_recv.reshape(occ_local_ids.shape[0], -1)
+        table, sparse_state = sparse_opt.update(
+            state.table, state.sparse_state, occ_local_ids, occ_grads
+        )
+
+        loss = jax.lax.psum(loss_local, DATA_AXIS)
+        dropped = jax.lax.psum(buckets.dropped, DATA_AXIS)
+        new_state = ShardedTrainState(
+            step=state.step + 1,
+            table=table,
+            sparse_state=sparse_state,
+            dense=dense,
+            dense_state=dense_state,
+            rng=rng,
+        )
+        return new_state, (loss, dropped)
+
+    def build(state: ShardedTrainState):
+        specs = _state_specs(state)
+        fn = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(specs, (P(), P())),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0,))
+
+    if template_state is not None:
+        return build(template_state)
+
+    _cache: dict = {}
+
+    def step(state, ids, labels, weights):
+        key = jax.tree_util.tree_structure(state)
+        if key not in _cache:
+            _cache[key] = build(state)
+        return _cache[key](state, ids, labels, weights)
+
+    return step
+
+
+def make_sharded_eval_step(model: Model, schema: Schema, mesh: Mesh,
+                           capacity_factor: float = 2.0):
+    """Sharded forward pass: ``(table_stored, dense, ids) -> logits``."""
+    n = int(np.prod(list(mesh.shape.values())))
+    pad_id = schema.pad_id
+    R = shard_rows(schema.padded_vocab_size, n)
+
+    def inner(table, dense, ids):
+        b_loc, S = ids.shape
+        m = b_loc * S
+        cap = max(1, min(m, int(capacity_factor * _cdiv(m, n))))
+        buckets = _bucket_by_owner(ids.reshape(-1), n, R, cap)
+        occ_rows, _ = _exchange_lookup(table, buckets, cap)
+        rows = occ_rows.reshape(b_loc, S, -1)
+        mask = (ids != pad_id).astype(jnp.float32)
+        return model.apply_rows(dense, rows, mask, train=False, rng=None)
+
+    def build(dense):
+        dense_spec = jax.tree_util.tree_map(lambda _: P(), dense)
+        fn = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), dense_spec, P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    _cache: dict = {}
+
+    def eval_step(table, dense, ids):
+        key = jax.tree_util.tree_structure(dense)
+        if key not in _cache:
+            _cache[key] = build(dense)
+        return _cache[key](table, dense, ids)
+
+    return eval_step

@@ -35,9 +35,11 @@ def save_pytree(path: str, tree) -> None:
 
 def load_pytree(path: str, like):
     """Load leaves saved by save_pytree into the structure of ``like``."""
+    import jax.numpy as jnp
+
     with np.load(path, allow_pickle=False) as z:
         manifest = json.loads(str(z["manifest"]))
-        leaves = [z[f"leaf_{i}"] for i in range(manifest["n"])]
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(manifest["n"])]
     _, treedef = jax.tree_util.tree_flatten(like)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -1,0 +1,157 @@
+"""Parallelism tests on 8 fake CPU devices (SURVEY.md §4 "distributed
+without a cluster"): pack/unpack layout, sharded lookup == jnp.take,
+sharded training == single-device training, determinism, overflow policy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deepctr_tpu.models import FMModel, LRModel
+from deepctr_tpu.optim import SparseAdagrad, SparseSgd
+from deepctr_tpu.parallel import (
+    init_sharded_state,
+    make_data_mesh,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    pack_table,
+    shard_batch_arrays,
+    unpack_table,
+)
+from deepctr_tpu.train.step import init_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 fake CPU devices"
+    return make_data_mesh()
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    for vp in [7, 8, 16, 33]:
+        logical = jnp.asarray(rng.normal(size=(vp, 3)).astype(np.float32))
+        stored = pack_table(logical, 8)
+        assert stored.shape[0] % 8 == 0
+        back = unpack_table(stored, vp, 8)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(logical))
+
+
+def test_sharded_eval_matches_dense(mesh, tiny_schema, tiny_dataset):
+    model = FMModel(k=3)
+    params = model.init_params(jax.random.PRNGKey(0), tiny_schema)
+    ids = tiny_dataset.ids[:64]
+    # dense reference
+    from deepctr_tpu.models import apply_model
+
+    want = apply_model(model, params, jnp.asarray(ids), tiny_schema.pad_id)
+    # sharded
+    stored = pack_table(params["table"], 8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stored = jax.device_put(stored, NamedSharding(mesh, P("data")))
+    (ids_d,) = shard_batch_arrays(mesh, ids)
+    eval_step = make_sharded_eval_step(model, tiny_schema, mesh, capacity_factor=8.0)
+    got = eval_step(stored, params["dense"], ids_d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("opt_name", ["sgd", "adagrad"])
+def test_sharded_training_matches_single_device(
+    opt_name, mesh, tiny_schema, tiny_dataset
+):
+    """The core parity check: N-way sharded training must reproduce the
+    single-device trajectory (same batches, no dropout model)."""
+    model = FMModel(k=3)
+    if opt_name == "sgd":
+        sopt = SparseSgd(0.1)
+    else:
+        sopt = SparseAdagrad(0.1)
+    dopt = optax.sgd(0.05)
+
+    B = 64
+    steps = 5
+    ds = tiny_dataset
+    batches = [
+        (
+            ds.ids[i * B : (i + 1) * B],
+            ds.labels[i * B : (i + 1) * B],
+            np.ones(B, np.float32),
+        )
+        for i in range(steps)
+    ]
+
+    # single device
+    st = init_state(model, tiny_schema, sopt, dopt, seed=3)
+    table0 = np.asarray(st.table).copy()
+    dense0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), st.dense)
+    step1 = make_train_step(model, tiny_schema, sopt, dopt, jit=False)
+    losses1 = []
+    for ids, y, w in batches:
+        st, m = step1(st, ids, y, w)
+        losses1.append(float(m.loss))
+
+    # sharded: same init
+    sst = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=3)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_table(sst.table, tiny_schema.padded_vocab_size, 8)), table0
+    )
+    stepN = make_sharded_train_step(model, tiny_schema, sopt, dopt, mesh, capacity_factor=8.0)
+    lossesN = []
+    for ids, y, w in batches:
+        ids_d, y_d, w_d = shard_batch_arrays(mesh, ids, y, w)
+        sst, (loss, dropped) = stepN(sst, ids_d, y_d, w_d)
+        lossesN.append(float(loss))
+        assert int(dropped) == 0
+
+    np.testing.assert_allclose(losses1, lossesN, rtol=1e-4, atol=1e-5)
+    tableN = np.asarray(
+        unpack_table(sst.table, tiny_schema.padded_vocab_size, 8)
+    )
+    np.testing.assert_allclose(np.asarray(st.table), tableN, rtol=1e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st.dense), jax.tree_util.tree_leaves(sst.dense)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_determinism(mesh, tiny_schema, tiny_dataset):
+    """Same inputs twice -> bitwise-identical tables (the determinism test
+    doubling as a race check for the all-to-all path, SURVEY.md §5)."""
+    model = LRModel()
+    sopt = SparseAdagrad(0.1)
+    dopt = optax.sgd(0.05)
+    ds = tiny_dataset
+    ids, y, w = ds.ids[:128], ds.labels[:128], np.ones(128, np.float32)
+
+    tables = []
+    for _ in range(2):
+        sst = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=9)
+        step = make_sharded_train_step(model, tiny_schema, sopt, dopt, mesh, capacity_factor=8.0)
+        for _ in range(3):
+            ids_d, y_d, w_d = shard_batch_arrays(mesh, ids, y, w)
+            sst, _ = step(sst, ids_d, y_d, w_d)
+        tables.append(np.asarray(sst.table))
+    np.testing.assert_array_equal(tables[0], tables[1])
+
+
+def test_overflow_policy_counts_drops(mesh, tiny_schema):
+    """With capacity_factor << 1 and maximally skewed ids, overflow must be
+    counted (not crash, not corrupt shapes)."""
+    model = LRModel()
+    sopt = SparseSgd(0.1)
+    dopt = optax.sgd(0.05)
+    sst = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=0)
+    step = make_sharded_train_step(
+        model, tiny_schema, sopt, dopt, mesh, capacity_factor=0.05
+    )
+    B = 64
+    # every id identical -> all occurrences hash to one shard -> overflow
+    ids = np.zeros((B, tiny_schema.num_slots), np.int32)
+    y = np.ones(B, np.float32)
+    w = np.ones(B, np.float32)
+    ids_d, y_d, w_d = shard_batch_arrays(mesh, ids, y, w)
+    sst, (loss, dropped) = step(sst, ids_d, y_d, w_d)
+    assert int(dropped) > 0
+    assert np.isfinite(float(loss))

@@ -1,0 +1,114 @@
+"""SNN pretraining tests (SURVEY.md C7/C8): DAE/RBM steps run, reduce their
+objective, only touch sampled rows, and seed a supervised SNN that learns."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepctr_tpu.models import (
+    DaePretrainer,
+    MlpSpec,
+    RbmPretrainer,
+    SNNModel,
+    field_sampling,
+    init_pretrain_dense,
+)
+from deepctr_tpu.models.snn import sample_negatives
+from deepctr_tpu.optim import SparseAdagrad, SparseSgd
+from deepctr_tpu.train import fit, init_state, pretrain_snn
+from deepctr_tpu.train.step import make_pretrain_step
+from deepctr_tpu.utils.checkpoint import init_snn_from_pretrain
+
+
+def test_sample_negatives_in_field_range(tiny_schema):
+    fs = field_sampling(tiny_schema)
+    ids = sample_negatives(jax.random.PRNGKey(0), fs, 64, m=3)
+    F = tiny_schema.num_fields
+    assert ids.shape == (64, F * 3)
+    ids_np = np.asarray(ids).reshape(64, F, 3)
+    offs = np.asarray(tiny_schema.offsets)
+    sizes = np.asarray([f.vocab_size for f in tiny_schema.fields])
+    for f in range(F):
+        assert (ids_np[:, f, :] >= offs[f]).all()
+        assert (ids_np[:, f, :] < offs[f] + sizes[f]).all()
+
+
+def _run_pretrain_steps(pretrainer, schema, ids, steps=30, hidden1=8, lr=0.1):
+    rng = jax.random.PRNGKey(0)
+    rng, init_rng = jax.random.split(rng)
+    table = 0.01 * jax.random.normal(
+        init_rng, (schema.padded_vocab_size, hidden1), jnp.float32
+    )
+    table = table.at[schema.pad_id].set(0.0)
+    dense = init_pretrain_dense(schema, hidden1)
+    opt = SparseSgd(learning_rate=lr)
+    sstate = opt.init(table)
+    pstep = make_pretrain_step(pretrainer, schema, opt, dense_lr=lr)
+    losses = []
+    B = 128
+    for i in range(steps):
+        sel = np.random.default_rng(i).integers(0, ids.shape[0], B)
+        table, sstate, dense, rng, loss = pstep(
+            table, sstate, dense, rng, jnp.asarray(ids[sel])
+        )
+        losses.append(float(loss))
+    return table, dense, losses
+
+
+def test_dae_pretrain_reduces_loss(tiny_schema, tiny_dataset):
+    table, dense, losses = _run_pretrain_steps(
+        DaePretrainer(m=2, corruption=0.3),
+        tiny_schema,
+        tiny_dataset.ids,
+        steps=120,
+        lr=0.3,
+    )
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.95, losses
+    # pad row untouched
+    np.testing.assert_array_equal(
+        np.asarray(table)[tiny_schema.pad_id], np.zeros(table.shape[1])
+    )
+
+
+def test_rbm_pretrain_reduces_reconstruction_error(tiny_schema, tiny_dataset):
+    table, dense, losses = _run_pretrain_steps(
+        RbmPretrainer(m=2), tiny_schema, tiny_dataset.ids, steps=40, lr=0.05
+    )
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_pretrain_to_snn_handoff_and_finetune(tiny_schema, tiny_dataset):
+    ds = tiny_dataset
+    h1 = 16
+    table, b1 = pretrain_snn(
+        DaePretrainer(m=2, corruption=0.3),
+        tiny_schema,
+        h1,
+        ds.ids[:2000],
+        sparse_opt=SparseSgd(learning_rate=0.1),
+        batch_size=256,
+        epochs=2,
+    )
+    model = SNNModel(hidden1=h1, mlp=MlpSpec(hidden=(16,), dropout=0.0))
+    st = init_state(model, tiny_schema, SparseAdagrad(0.1), optax.adagrad(0.05))
+    params = init_snn_from_pretrain(
+        {"table": st.table, "dense": st.dense}, table, b1
+    )
+    st = st._replace(table=params["table"], dense=params["dense"])
+    res = fit(
+        model,
+        tiny_schema,
+        ds.ids[:3000],
+        ds.labels[:3000],
+        ds.ids[3000:],
+        ds.labels[3000:],
+        sparse_opt=SparseAdagrad(0.1),
+        dense_opt=optax.adagrad(0.05),
+        batch_size=256,
+        epochs=6,
+        state=st,
+        prefetch=False,
+        early_stop_patience=6,
+    )
+    assert res.best_auc > 0.62, res.history
