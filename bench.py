@@ -1,0 +1,132 @@
+"""Headline benchmark: FNN training examples/s/chip on iPinYou-shaped data.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline protocol (SURVEY.md §0/§6, BASELINE.md): the reference repo
+publishes no perf numbers and its mount was empty, so the baseline is
+MEASURED by running the NumPy-faithful reproduction of the reference's
+training procedure (deepctr_tpu/reference_impl) on this host — the same
+model family, the reference's host-driven per-batch design.  The measured
+number is cached in BASELINE_MEASURED.json so repeat runs are stable.
+``vs_baseline`` = our TPU examples/s / reference-reproduction examples/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_MEASURED.json")
+
+BATCH = 8192
+K = 10
+HIDDEN = (200, 300, 100)
+WARMUP_STEPS = 6
+MEASURE_STEPS = 40
+N_EXAMPLES = 2 * MEASURE_STEPS * BATCH  # warmup scan + measured scan
+
+
+def measure_baseline(schema, ids, labels) -> float:
+    """Reference-reproduction FNN throughput (examples/s) on this host."""
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                cached = json.load(f)
+            if cached.get("config") == _config_key():
+                return float(cached["fnn_examples_per_s"])
+        except Exception:
+            pass
+    from deepctr_tpu.reference_impl import NumpyFNN, train_numpy_model
+
+    ref = NumpyFNN(schema, k=K, hidden=HIDDEN, lr=0.01, seed=0)
+    # warm the caches with one batch, then measure for a bounded wall time
+    ref.train_batch(ids[:BATCH], labels[:BATCH])
+    seen, secs = train_numpy_model(
+        ref, ids, labels, batch_size=BATCH, epochs=10**6, seed=1, shuffle=False,
+        max_seconds=20.0,
+    )
+    val = seen / secs
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {
+                "config": _config_key(),
+                "fnn_examples_per_s": val,
+                "note": "NumPy reproduction of the reference's FNN trainer "
+                "(reference mount empty; see SURVEY.md §0) measured on this host",
+            },
+            f,
+            indent=2,
+        )
+    return val
+
+
+def _config_key():
+    return {"batch": BATCH, "k": K, "hidden": list(HIDDEN), "model": "fnn"}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepctr_tpu.data import ipinyou_like_schema, synthetic
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.train import init_state, make_train_step
+
+    from deepctr_tpu.train.step import make_scan_train_step
+
+    schema = ipinyou_like_schema()
+    ds = synthetic.generate(schema, num_examples=N_EXAMPLES, k=4, seed=3)
+
+    model = make_fnn(schema, k=K, mlp=MlpSpec(hidden=HIDDEN, dropout=0.5))
+    sopt = SparseAdagrad(0.05)
+    dopt = optax.adagrad(0.02)
+    state = init_state(model, schema, sopt, dopt, seed=0)
+
+    # one jitted lax.scan over all measured steps: wall time == device time,
+    # immune to async-dispatch queueing artifacts (a naive per-step host
+    # loop through the remote runtime UNDER-reports by >10x)
+    scan_step = make_scan_train_step(model, schema, sopt, dopt)
+
+    def stack(start, count):
+        sel = slice(start * BATCH, (start + count) * BATCH)
+        return (
+            jnp.asarray(ds.ids[sel]).reshape(count, BATCH, -1),
+            jnp.asarray(ds.labels[sel]).reshape(count, BATCH),
+            jnp.ones((count, BATCH), jnp.float32),
+        )
+
+    warm = stack(0, MEASURE_STEPS)
+    state, losses = scan_step(state, *warm)
+    np.asarray(losses)  # host fetch: the only reliable execution barrier
+    # through the remote runtime (block_until_ready can return early there)
+
+    measure = stack(MEASURE_STEPS, MEASURE_STEPS)
+    t0 = time.perf_counter()
+    state, losses = scan_step(state, *measure)
+    losses_np = np.asarray(losses)  # forces all MEASURE_STEPS to execute
+    secs = time.perf_counter() - t0
+    assert np.isfinite(losses_np).all()
+    value = MEASURE_STEPS * BATCH / secs
+
+    baseline = measure_baseline(schema, ds.ids, ds.labels)
+    print(
+        json.dumps(
+            {
+                "metric": "fnn_train_examples_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Config system: dataclass configs + JSON files + CLI overrides.
+
+Reference parity: the reference's "config system" is module-level constants
+edited in-file (SURVEY.md §1 entry layer, §5 config row).  Here every run is
+described by a serialisable ``RunConfig``; the bundled ``configs/*.json``
+mirror the BASELINE.json:6-12 config list (lr/ipinyou, fm/k10,
+fnn/full-ipinyou, snn/multichip, criteo-sharded stretch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "fnn"                  # lr | fm | fnn | snn
+    k: int = 10                        # FM/FNN latent factors
+    hidden: tuple[int, ...] = (200, 300, 100)
+    activation: str = "tanh"
+    dropout: float = 0.5
+    hidden1: int = 200                 # SNN bottom layer width
+    init_sigma: float = 0.01
+    use_pallas: bool = False           # fused TPU kernels (FM scorer, tower)
+    init_from: str | None = None       # checkpoint path: FM table (fnn) or
+                                       # DAE/RBM pretrain output (snn)
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    sparse: str = "adagrad"            # sgd | adagrad
+    sparse_lr: float = 0.05
+    dense: str = "adagrad"             # any optax alias: sgd | adagrad | adam
+    dense_lr: float = 0.02
+    l2: float = 0.0
+    eps: float = 1e-6
+
+
+@dataclasses.dataclass
+class DataConfig:
+    train_path: str | None = None      # yx text file (None -> synthetic)
+    test_path: str | None = None
+    schema_path: str | None = None     # Schema JSON (None -> ipinyou_like)
+    synthetic_examples: int = 200_000
+    synthetic_seed: int = 0
+    test_fraction: float = 0.15        # used when test_path is None
+    use_cache: bool = True
+    use_native_parser: bool = True
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 4096
+    epochs: int = 10
+    seed: int = 0
+    early_stop_patience: int = 2
+    prefetch: bool = True
+    # SNN pretraining phase
+    pretrain: str | None = None        # dae | rbm | None
+    pretrain_epochs: int = 1
+    pretrain_m: int = 2
+    pretrain_corruption: float = 0.3
+    pretrain_lr: float = 0.1
+    # parallelism
+    sharded: bool = False              # row-sharded tables + all-to-all
+    num_devices: int | None = None     # None -> all
+    capacity_factor: float = 2.0
+    # io
+    checkpoint_path: str | None = None
+    metrics_path: str | None = None
+    profile_dir: str | None = None
+
+
+@dataclasses.dataclass
+class RunConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    # ---- serialisation ----------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_dict(raw: dict[str, Any]) -> "RunConfig":
+        def build(cls, d):
+            if d is None:
+                return cls()
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kw = {}
+            for key, val in d.items():
+                if key not in fields:
+                    raise ValueError(f"unknown config key {cls.__name__}.{key}")
+                if isinstance(val, list):
+                    val = tuple(val)
+                kw[key] = val
+            return cls(**kw)
+
+        return RunConfig(
+            model=build(ModelConfig, raw.get("model")),
+            optim=build(OptimConfig, raw.get("optim")),
+            data=build(DataConfig, raw.get("data")),
+            train=build(TrainConfig, raw.get("train")),
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "RunConfig":
+        return RunConfig.from_dict(json.loads(text))
+
+    @staticmethod
+    def load(path: str) -> "RunConfig":
+        with open(path) as f:
+            return RunConfig.from_json(f.read())
+
+    def apply_overrides(self, overrides: list[str]) -> "RunConfig":
+        """Apply dotted CLI overrides like ``train.batch_size=1024``."""
+        raw = dataclasses.asdict(self)
+        for ov in overrides:
+            if "=" not in ov:
+                raise ValueError(f"override {ov!r} is not key=value")
+            key, val = ov.split("=", 1)
+            parts = key.split(".")
+            node = raw
+            for p in parts[:-1]:
+                if p not in node:
+                    raise ValueError(f"unknown config section {p!r}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise ValueError(f"unknown config key {key!r}")
+            node[leaf] = _parse_value(val, node[leaf])
+        return RunConfig.from_dict(raw)
+
+
+def _parse_value(text: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return text.lower() in ("1", "true", "yes")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(text)
+    if isinstance(current, float):
+        return float(text)
+    if isinstance(current, (list, tuple)):
+        return tuple(int(x) if x.strip().isdigit() else x.strip()
+                     for x in text.strip("()[]").split(",") if x.strip())
+    if current is None:
+        # try json-ish literals, else string
+        if text.lower() in ("none", "null"):
+            return None
+        for cast in (int, float):
+            try:
+                return cast(text)
+            except ValueError:
+                pass
+        return text
+    return text

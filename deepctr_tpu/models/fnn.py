@@ -33,6 +33,7 @@ class FNNModel:
     k: int = 10
     mlp: MlpSpec = MlpSpec(hidden=(200, 300, 100), activation="tanh", dropout=0.5)
     init_sigma: float = 0.01
+    use_pallas: bool = False  # fused tower kernel when dropout is inactive
     name: str = "fnn"
 
     def table_shape(self, schema: Schema) -> tuple[int, int]:
@@ -53,6 +54,11 @@ class FNNModel:
         onehot = jax.nn.one_hot(slot_field, self.num_fields, dtype=x.dtype)
         pooled = jnp.einsum("bsd,sf->bfd", x, onehot)          # [B, F, 1+k]
         flat = pooled.reshape(pooled.shape[0], -1)             # [B, F*(1+k)]
+        # fused tower has no dropout path; use it whenever dropout is inactive
+        if self.use_pallas and (not train or self.mlp.dropout == 0.0):
+            from ..ops.pallas import mlp_tower
+
+            return mlp_tower(dense["mlp"], flat, self.mlp.activation)
         return apply_mlp(dense["mlp"], flat, self.mlp, train=train, rng=rng)
 
 
@@ -61,6 +67,7 @@ def make_fnn(
     k: int = 10,
     mlp: MlpSpec | None = None,
     init_sigma: float = 0.01,
+    use_pallas: bool = False,
 ) -> FNNModel:
     return FNNModel(
         slot_field=tuple(int(f) for f in schema.slot_field),
@@ -68,4 +75,5 @@ def make_fnn(
         k=k,
         mlp=mlp or MlpSpec(hidden=(200, 300, 100), activation="tanh", dropout=0.5),
         init_sigma=init_sigma,
+        use_pallas=use_pallas,
     )

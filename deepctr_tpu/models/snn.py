@@ -38,6 +38,7 @@ class SNNModel:
     hidden1: int = 200
     mlp: MlpSpec = MlpSpec(hidden=(300, 100), activation="tanh", dropout=0.5)
     init_sigma: float = 0.01
+    use_pallas: bool = False  # fused tower kernel when dropout is inactive
     name: str = "snn"
 
     def table_shape(self, schema: Schema) -> tuple[int, int]:
@@ -58,6 +59,10 @@ class SNNModel:
         # rows: [B, S, h1]; bottom layer = sigma(sum of active rows + b1)
         z = (rows * mask[..., None]).sum(axis=1) + dense["b1"]
         h = jax.nn.sigmoid(z)
+        if self.use_pallas and (not train or self.mlp.dropout == 0.0):
+            from ..ops.pallas import mlp_tower
+
+            return mlp_tower(dense["mlp"], h, self.mlp.activation)
         return apply_mlp(dense["mlp"], h, self.mlp, train=train, rng=rng)
 
 

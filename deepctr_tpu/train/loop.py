@@ -102,12 +102,16 @@ def fit(
         if prefetch:
             it = DevicePrefetcher(it, depth=2)
         n_batches = 0
-        loss_sum = 0.0
-        for b in it:
+        losses = []  # device scalars; fetched once per epoch (a float() per
+        for b in it:  # step would force a host sync on every dispatch)
             state, m = step(state, b.ids, b.labels, b.weights)
-            loss_sum += float(m.loss)
+            losses.append(m.loss)
             n_batches += 1
+        import jax
+
+        jax.block_until_ready(state.table)
         train_time = time.perf_counter() - t0
+        loss_sum = float(sum(float(x) for x in losses))
         ev = evaluate(
             eval_step, state.table, state.dense, test_ids, test_labels, schema
         )

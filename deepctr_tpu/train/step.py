@@ -109,6 +109,38 @@ def make_train_step(
     return step
 
 
+def make_scan_train_step(
+    model: Model,
+    schema: Schema,
+    sparse_opt,
+    dense_opt,
+    l2: float = 0.0,
+):
+    """Multi-step trainer: one jitted ``lax.scan`` over T stacked batches.
+
+    ``scan_step(state, ids [T,B,S], labels [T,B], weights [T,B])``
+    -> ``(state, losses [T])``.
+
+    TPU-native rationale: the reference drives one compiled call per
+    minibatch from Python (SURVEY.md §3.1).  Through a remote/tunneled
+    runtime each dispatch costs milliseconds of host latency; scanning T
+    steps inside one XLA program makes dispatch cost amortise to zero and
+    is also what the wall-clock benchmark must measure (device time, not
+    queue behaviour).
+    """
+    inner = make_train_step(model, schema, sparse_opt, dense_opt, l2=l2, jit=False)
+
+    def scan_step(state: TrainState, ids, labels, weights):
+        def body(st, batch):
+            st2, m = inner(st, *batch)
+            return st2, m.loss
+
+        state, losses = jax.lax.scan(body, state, (ids, labels, weights))
+        return state, losses
+
+    return jax.jit(scan_step, donate_argnums=(0,))
+
+
 def make_eval_step(model: Model, schema: Schema, jit: bool = True):
     """Build ``eval_step(table, dense, ids) -> logits`` (no dropout)."""
     pad_id = schema.pad_id

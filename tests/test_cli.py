@@ -1,0 +1,109 @@
+"""Config system + CLI end-to-end tests (SURVEY.md §5 config row)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from deepctr_tpu.cli import main, run
+from deepctr_tpu.config import RunConfig
+
+
+def test_config_roundtrip_and_overrides():
+    cfg = RunConfig()
+    cfg2 = RunConfig.from_json(cfg.to_json())
+    assert cfg == cfg2
+    cfg3 = cfg.apply_overrides(
+        ["model.name=fm", "train.epochs=3", "optim.sparse_lr=0.5",
+         "model.hidden=64,32", "train.prefetch=false"]
+    )
+    assert cfg3.model.name == "fm"
+    assert cfg3.train.epochs == 3
+    assert cfg3.optim.sparse_lr == 0.5
+    assert cfg3.model.hidden == (64, 32)
+    assert cfg3.train.prefetch is False
+
+
+def test_config_rejects_unknown_keys():
+    with pytest.raises(ValueError):
+        RunConfig().apply_overrides(["model.nonexistent=1"])
+    with pytest.raises(ValueError):
+        RunConfig.from_dict({"model": {"bogus": 1}})
+
+
+def test_bundled_configs_parse():
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+    paths = glob.glob(os.path.join(root, "*.json"))
+    assert len(paths) >= 5
+    for p in paths:
+        RunConfig.load(p)
+
+
+def test_cli_end_to_end_fm_then_fnn(tmp_path):
+    """Two-phase flow through the CLI: train FM -> checkpoint -> FNN init."""
+    ckpt = str(tmp_path / "fm.ckpt")
+    fm_cfg = RunConfig().apply_overrides(
+        [
+            "model.name=fm",
+            "model.k=4",
+            "data.synthetic_examples=6000",
+            "train.batch_size=512",
+            "train.epochs=2",
+            "train.prefetch=false",
+            f"train.checkpoint_path={ckpt}",
+            f"train.metrics_path={tmp_path}/fm_metrics.jsonl",
+        ]
+    )
+    res_fm = run(fm_cfg)
+    assert res_fm["best_auc"] > 0.55
+
+    fnn_cfg = RunConfig().apply_overrides(
+        [
+            "model.name=fnn",
+            "model.k=4",
+            "model.hidden=32,16",
+            "model.dropout=0.0",
+            f"model.init_from={ckpt}.fm_table",
+            "data.synthetic_examples=6000",
+            "train.batch_size=512",
+            "train.epochs=2",
+            "train.prefetch=false",
+        ]
+    )
+    res_fnn = run(fnn_cfg)
+    assert res_fnn["best_auc"] > 0.55
+    # metrics file is valid JSONL
+    lines = open(f"{tmp_path}/fm_metrics.jsonl").read().splitlines()
+    assert all(json.loads(ln) for ln in lines)
+
+
+def test_cli_sharded_snn_with_pretrain(tmp_path):
+    """SNN with DAE pretrain on the sharded multi-device path (the
+    BASELINE.json:10 'SNN multi-chip' config, shrunk)."""
+    cfg = RunConfig().apply_overrides(
+        [
+            "model.name=snn",
+            "model.hidden1=16",
+            "model.hidden=16",
+            "model.dropout=0.0",
+            "data.synthetic_examples=4000",
+            "train.batch_size=512",
+            "train.epochs=1",
+            "train.pretrain=dae",
+            "train.pretrain_epochs=1",
+            "train.sharded=true",
+            "train.capacity_factor=8.0",
+            "train.prefetch=false",
+        ]
+    )
+    res = run(cfg)
+    assert np.isfinite(res["best_auc"])
+
+
+def test_cli_print_config(capsys):
+    assert main(["--print-config", "model.name=lr"]) == 0
+    out = capsys.readouterr().out
+    assert json.loads(out)["model"]["name"] == "lr"
