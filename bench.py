@@ -102,17 +102,29 @@ def main():
             jnp.ones((count, BATCH), jnp.float32),
         )
 
-    warm = stack(0, MEASURE_STEPS)
-    state, losses = scan_step(state, *warm)
-    np.asarray(losses)  # host fetch: the only reliable execution barrier
-    # through the remote runtime (block_until_ready can return early there)
+    # Timing protocol for the tunneled runtime: a host fetch is the only
+    # reliable execution barrier (block_until_ready can return early), but
+    # the fetch itself costs a large fixed RTT — so time a T-step and a
+    # 2T-step scan and report the MARGINAL per-step cost (difference method
+    # cancels dispatch + fetch overhead exactly).
+    def timed(count, start):
+        nonlocal state
+        batch = stack(start, count)
+        # force the H2D transfer to finish before the clock starts (through
+        # the tunneled runtime a scalar fetch is the only reliable barrier)
+        float(batch[0].sum())
+        t0 = time.perf_counter()
+        st2, losses = scan_step(state, *batch)
+        losses_np = np.asarray(losses)
+        assert np.isfinite(losses_np).all()
+        state = st2
+        return time.perf_counter() - t0
 
-    measure = stack(MEASURE_STEPS, MEASURE_STEPS)
-    t0 = time.perf_counter()
-    state, losses = scan_step(state, *measure)
-    losses_np = np.asarray(losses)  # forces all MEASURE_STEPS to execute
-    secs = time.perf_counter() - t0
-    assert np.isfinite(losses_np).all()
+    timed(MEASURE_STEPS, 0)                     # warmup/compile T
+    timed(2 * MEASURE_STEPS, 0)                 # warmup/compile 2T
+    t_short = timed(MEASURE_STEPS, 0)
+    t_long = timed(2 * MEASURE_STEPS, 0)
+    secs = max(t_long - t_short, 1e-9)
     value = MEASURE_STEPS * BATCH / secs
 
     baseline = measure_baseline(schema, ds.ids, ds.labels)

@@ -117,16 +117,29 @@ def run(cfg) -> dict:
     state = init_state(
         model, schema, sparse_opt, dense_opt, seed=cfg.train.seed
     )
+    resumed = False
+    if (
+        cfg.train.resume
+        and cfg.train.checkpoint_path
+        and __import__("os").path.exists(cfg.train.checkpoint_path)
+    ):
+        from .utils.checkpoint import load_train_state
 
-    # two-phase flows
-    if cfg.model.name == "fnn" and cfg.model.init_from:
+        state = load_train_state(cfg.train.checkpoint_path, state)
+        resumed = True
+        logger.log({"event": "resumed", "path": cfg.train.checkpoint_path,
+                    "step": int(state.step)})
+
+    # two-phase flows (skipped when resuming: the checkpoint already
+    # contains the initialised/fine-tuned tables)
+    if not resumed and cfg.model.name == "fnn" and cfg.model.init_from:
         fm_table = load_fm_embeddings(cfg.model.init_from)
         params = init_fnn_from_fm(
             {"table": state.table, "dense": state.dense}, fm_table
         )
         state = state._replace(table=params["table"])
         logger.log({"event": "init_from_fm", "path": cfg.model.init_from})
-    if cfg.model.name == "snn" and cfg.train.pretrain:
+    if not resumed and cfg.model.name == "snn" and cfg.train.pretrain:
         from .models import DaePretrainer, RbmPretrainer
 
         pre = (
@@ -161,6 +174,17 @@ def run(cfg) -> dict:
             tr_ids, tr_labels, te_ids, te_labels, logger, state
         )
     else:
+        def on_epoch(epoch, st, rec):
+            # heartbeat + periodic checkpoint (restart-from-checkpoint
+            # fault tolerance, SURVEY.md §5)
+            logger.log({"event": "heartbeat", "epoch": epoch,
+                        "step": int(st.step)})
+            if (
+                cfg.train.checkpoint_path
+                and (epoch + 1) % max(cfg.train.checkpoint_every, 1) == 0
+            ):
+                save_train_state(cfg.train.checkpoint_path, st)
+
         res = fit(
             model,
             schema,
@@ -178,6 +202,7 @@ def run(cfg) -> dict:
             state=state,
             logger=logger,
             prefetch=cfg.train.prefetch,
+            on_epoch=on_epoch,
         )
         if cfg.train.checkpoint_path:
             save_train_state(cfg.train.checkpoint_path, res.state)

@@ -67,7 +67,9 @@ class TrainConfig:
     sharded: bool = False              # row-sharded tables + all-to-all
     num_devices: int | None = None     # None -> all
     capacity_factor: float = 2.0
-    # io
+    # io / fault tolerance (SURVEY.md §5: heartbeat + restart-from-checkpoint)
+    resume: bool = False               # resume from checkpoint_path if present
+    checkpoint_every: int = 1          # save every N epochs (when path set)
     checkpoint_path: str | None = None
     metrics_path: str | None = None
     profile_dir: str | None = None

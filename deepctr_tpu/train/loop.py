@@ -75,6 +75,7 @@ def fit(
     state: TrainState | None = None,
     logger: MetricsLogger | None = None,
     prefetch: bool = True,
+    on_epoch: Callable[[int, TrainState, dict], None] | None = None,
 ) -> FitResult:
     """Train with per-epoch eval and early stop on held-out AUC.
 
@@ -124,6 +125,8 @@ def fit(
         history.append(rec)
         if logger is not None:
             logger.log(rec)
+        if on_epoch is not None:
+            on_epoch(epoch, state, rec)
         if ev["auc"] > best_auc:
             best_auc, best_epoch, since_best = ev["auc"], epoch, 0
         else:

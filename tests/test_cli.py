@@ -107,3 +107,30 @@ def test_cli_print_config(capsys):
     assert main(["--print-config", "model.name=lr"]) == 0
     out = capsys.readouterr().out
     assert json.loads(out)["model"]["name"] == "lr"
+
+
+def test_cli_resume_from_checkpoint(tmp_path):
+    """Kill-and-restart fault tolerance: resume picks up the saved step."""
+    ckpt = str(tmp_path / "resume.ckpt")
+    base = [
+        "model.name=fm",
+        "model.k=3",
+        "data.synthetic_examples=4000",
+        "train.batch_size=512",
+        "train.prefetch=false",
+        f"train.checkpoint_path={ckpt}",
+        f"train.metrics_path={tmp_path}/m.jsonl",
+    ]
+    run(RunConfig().apply_overrides(base + ["train.epochs=2"]))
+    import os
+
+    assert os.path.exists(ckpt)
+    res = run(
+        RunConfig().apply_overrides(
+            base + ["train.epochs=1", "train.resume=true"]
+        )
+    )
+    lines = [json.loads(ln) for ln in open(f"{tmp_path}/m.jsonl")]
+    resumed = [l for l in lines if l.get("event") == "resumed"]
+    assert resumed and resumed[0]["step"] > 0
+    assert np.isfinite(res["best_auc"])

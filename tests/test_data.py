@@ -115,3 +115,70 @@ def test_stream_yx_batches(tmp_path, tiny_schema, tiny_dataset):
 
 def test_schema_json_roundtrip(tiny_schema):
     assert Schema.from_json(tiny_schema.to_json()) == tiny_schema
+
+
+def test_criteo_parser():
+    from deepctr_tpu.data.criteo import (
+        criteo_schema,
+        fnv1a64,
+        parse_criteo_lines,
+    )
+
+    schema = criteo_schema(cat_buckets=1000)
+    assert schema.num_fields == 39
+    lines = [
+        b"1\t5\t\t-3\t" + b"\t" * 10 + b"68fd1e64\tabc123\t" + b"\t" * 24,
+        b"0" + b"\t" * 39,
+        b"",  # blank skipped
+    ]
+    labels, ids = parse_criteo_lines(lines, schema)
+    assert labels.tolist() == [1.0, 0.0]
+    offs = schema.offsets
+    # I1=5 -> floor(log(6)^2)+3 = floor(3.21)+3 = 6
+    assert ids[0, 0] == offs[0] + 6
+    assert ids[0, 1] == offs[1] + 0      # missing int
+    assert ids[0, 2] == offs[2] + 2      # negative int
+    # categorical: deterministic hash
+    assert ids[0, 13] == offs[13] + fnv1a64(b"68fd1e64") % 1000
+    # same token hashes identically on a fresh parse (restart determinism)
+    labels2, ids2 = parse_criteo_lines(lines[:1], schema)
+    assert ids2[0, 13] == ids[0, 13]
+    # missing categorical -> bucket 0, still a valid id in field range
+    assert ids[1, 13] == offs[13]
+    # all ids within vocab
+    assert (ids < schema.vocab_size).all() and (ids >= 0).all()
+
+
+def test_criteo_trains():
+    """Hashed Criteo-shaped data flows through the standard trainer."""
+    import optax
+
+    from deepctr_tpu.data.criteo import criteo_schema, parse_criteo_lines
+    from deepctr_tpu.models import FMModel
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.train import fit
+
+    rng = np.random.default_rng(0)
+    schema = criteo_schema(cat_buckets=500)
+    lines = []
+    for i in range(800):
+        y = rng.integers(0, 2)
+        ints = [str(rng.integers(0, 100) + y * 50).encode() for _ in range(13)]
+        cats = [f"tok{rng.integers(0, 50) + y * 25:x}".encode() for _ in range(26)]
+        lines.append(str(y).encode() + b"\t" + b"\t".join(ints + cats))
+    labels, ids = parse_criteo_lines(lines, schema)
+    res = fit(
+        FMModel(k=4),
+        schema,
+        ids[:600],
+        labels[:600],
+        ids[600:],
+        labels[600:],
+        sparse_opt=SparseAdagrad(0.1),
+        dense_opt=optax.adagrad(0.05),
+        batch_size=128,
+        epochs=4,
+        prefetch=False,
+        early_stop_patience=4,
+    )
+    assert res.best_auc > 0.7, res.history

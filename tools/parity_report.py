@@ -1,0 +1,147 @@
+"""Measure AUC/logloss parity vs the reference reproduction over seeds.
+
+BASELINE.md measurement plan: the reference mount was empty and it publishes
+no numbers, so parity is defined against the NumPy-faithful reproduction
+(deepctr_tpu/reference_impl) trained on the same data.  This tool trains
+both sides over N seeds and writes PARITY.md with mean ± std and the delta.
+
+Usage:  python tools/parity_report.py [--seeds 3] [--examples 100000]
+        [--out PARITY.md]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(seeds: int, examples: int, out_path: str) -> None:
+    import optax
+
+    from deepctr_tpu.data import ipinyou_like_schema, synthetic
+    from deepctr_tpu.models import FMModel, LRModel, MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseSgd
+    from deepctr_tpu.reference_impl import NumpyFM, NumpyFNN, NumpyLR, train_numpy_model
+    from deepctr_tpu.train import fit
+    from deepctr_tpu.utils.metrics import exact_auc, logloss
+
+    schema = ipinyou_like_schema()
+    ds = synthetic.generate(schema, num_examples=examples, k=4, seed=1234)
+    n = ds.ids.shape[0]
+    tr, te = slice(0, int(0.85 * n)), slice(int(0.85 * n), n)
+    bayes_auc = exact_auc(ds.labels[te], ds.bayes_logits[te])
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+    # settings chosen so every model learns well clear of chance
+    # (AUC ~0.74 against a 0.81 Bayes ceiling); parity at near-chance
+    # AUC would be vacuous
+    lr_, k, B, epochs = 0.3, 10, 512, 8
+    rows = []
+    for name in ("lr", "fm", "fnn"):
+        ours_auc, ours_ll, ref_auc, ref_ll = [], [], [], []
+        for seed in range(seeds):
+            # ---- reference reproduction
+            if name == "lr":
+                ref = NumpyLR(schema, lr=lr_, seed=seed)
+            elif name == "fm":
+                ref = NumpyFM(schema, k=k, lr=lr_, seed=seed)
+            else:
+                fm0 = NumpyFM(schema, k=k, lr=lr_, seed=seed)
+                train_numpy_model(
+                    fm0, ds.ids[tr], ds.labels[tr], batch_size=B, epochs=3, seed=seed
+                )
+                ref = NumpyFNN(
+                    schema, k=k, hidden=(200, 300, 100), lr=lr_, seed=seed,
+                    fm_table=fm0.table,
+                )
+            train_numpy_model(
+                ref, ds.ids[tr], ds.labels[tr], batch_size=B, epochs=epochs, seed=seed
+            )
+            p = sig(ref.forward(ds.ids[te]))
+            ref_auc.append(exact_auc(ds.labels[te], p))
+            ref_ll.append(logloss(ds.labels[te], p))
+
+            # ---- ours (same SGD optimizer family for apples-to-apples)
+            if name == "lr":
+                model = LRModel()
+                state = None
+            elif name == "fm":
+                model = FMModel(k=k)
+                state = None
+            else:
+                import jax
+
+                from deepctr_tpu.train import init_state
+                from deepctr_tpu.utils.checkpoint import init_fnn_from_fm
+
+                fmm = FMModel(k=k)
+                res_fm = fit(
+                    fmm, schema, ds.ids[tr], ds.labels[tr], ds.ids[te], ds.labels[te],
+                    sparse_opt=SparseSgd(lr_), dense_opt=optax.sgd(lr_),
+                    batch_size=B, epochs=3, seed=seed, prefetch=False,
+                    early_stop_patience=99,
+                )
+                model = make_fnn(
+                    schema, k=k,
+                    mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.0),
+                )
+                state = init_state(model, schema, SparseSgd(lr_), optax.sgd(lr_),
+                                   seed=seed)
+                params = init_fnn_from_fm(
+                    {"table": state.table, "dense": state.dense}, res_fm.state.table
+                )
+                state = state._replace(table=params["table"])
+            res = fit(
+                model, schema, ds.ids[tr], ds.labels[tr], ds.ids[te], ds.labels[te],
+                sparse_opt=SparseSgd(lr_),
+                dense_opt=optax.sgd(lr_),
+                batch_size=B, epochs=epochs, seed=seed, prefetch=False,
+                early_stop_patience=99, state=state,
+            )
+            last = res.history[-1]
+            ours_auc.append(last["auc"])
+            ours_ll.append(last["logloss"])
+        rows.append(
+            (name, np.mean(ref_auc), np.std(ref_auc), np.mean(ours_auc),
+             np.std(ours_auc), np.mean(ours_auc) - np.mean(ref_auc),
+             np.mean(ref_ll), np.mean(ours_ll))
+        )
+        print(f"{name}: ref {rows[-1][1]:.4f}±{rows[-1][2]:.4f}  "
+              f"ours {rows[-1][3]:.4f}±{rows[-1][4]:.4f}  Δ {rows[-1][5]:+.4f}")
+
+    with open(out_path, "w") as f:
+        f.write("# PARITY — deepctr_tpu vs reference reproduction\n\n")
+        f.write(
+            f"Protocol: SURVEY.md §0/§6 — the reference mount was empty, so the "
+            f"oracle is the NumPy-faithful reproduction of the reference's "
+            f"training procedure (deepctr_tpu/reference_impl). Synthetic "
+            f"iPinYou-shaped data, {examples} examples, {seeds} seeds, "
+            f"{epochs} epochs, SGD. Bayes-ceiling AUC of the planted model: "
+            f"{bayes_auc:.4f}. Target band: |Δ AUC| ≤ 0.002 "
+            f"(BASELINE.json:5).\n\n"
+        )
+        f.write("| model | ref AUC (±σ) | ours AUC (±σ) | Δ AUC | ref logloss "
+                "| ours logloss |\n|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(
+                f"| {r[0].upper()} | {r[1]:.4f} ± {r[2]:.4f} | {r[3]:.4f} ± "
+                f"{r[4]:.4f} | {r[5]:+.4f} | {r[6]:.4f} | {r[7]:.4f} |\n"
+            )
+        f.write(f"\nGenerated by tools/parity_report.py at {time.ctime()}.\n")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--examples", type=int, default=40_000)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PARITY.md"))
+    args = ap.parse_args()
+    run(args.seeds, args.examples, args.out)
