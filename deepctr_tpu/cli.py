@@ -100,6 +100,17 @@ def load_data(cfg):
 def run(cfg) -> dict:
     import jax
 
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if cfg.train.distributed:
+        # multi-host: each host runs this same program; the runtime wires
+        # ICI within a slice and DCN across hosts (SURVEY.md §2.4/§5 comm
+        # rows). Single-host invocation is a no-op failure we tolerate.
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # not in a multi-host env
+            print(f"jax.distributed.initialize() skipped: {e}")
+
     from .train import fit, init_state, pretrain_snn
     from .utils.checkpoint import (
         init_fnn_from_fm,
@@ -262,26 +273,39 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
             dropped_sum += int(dropped)
             n_b += 1
         dt = time.perf_counter() - t0
-        logits_all, labels_all = [], []
+        # on-device streaming AUC: histograms accumulate on the sharded
+        # logits and only two [num_bins] vectors ever reach the host
+        # (SURVEY.md §5 observability row); logloss accumulates likewise
+        import jax
+        import jax.numpy as jnp
+
+        auc_state = M.auc_state_init()
+
+        @jax.jit
+        def accum(st, logits, labels, weights):
+            st2 = M.auc_state_update(st, logits, labels, weights)
+            ls = jax.nn.log_sigmoid(logits)
+            lns = jax.nn.log_sigmoid(-logits)
+            ll = -(labels * ls + (1 - labels) * lns)
+            return st2, (ll * weights).sum(), weights.sum()
+
+        ll_sum, w_sum = 0.0, 0.0
         for b in minibatches(
             te_ids, te_labels, cfg.train.batch_size, schema=schema,
             shuffle=False, drop_remainder=False,
         ):
-            ids_d, = shard_batch_arrays(mesh, b.ids)
-            logits = np.asarray(eval_step(state.table, state.dense, ids_d))
-            keep = b.weights > 0
-            logits_all.append(logits[keep])
-            labels_all.append(b.labels[keep])
-        logits_np = np.concatenate(logits_all)
-        labels_np = np.concatenate(labels_all)
-        probs = 1 / (1 + np.exp(-np.clip(logits_np, -30, 30)))
+            ids_d, y_d, w_d = shard_batch_arrays(mesh, b.ids, b.labels, b.weights)
+            logits = eval_step(state.table, state.dense, ids_d)
+            auc_state, ll_b, w_b = accum(auc_state, logits, y_d, w_d)
+            ll_sum += float(ll_b)
+            w_sum += float(w_b)
         rec = {
             "epoch": epoch,
             "train_loss": loss_sum / max(n_b, 1),
             "dropped_ids": dropped_sum,
             "examples_per_s": n_b * cfg.train.batch_size / max(dt, 1e-9),
-            "auc": M.exact_auc(labels_np, probs),
-            "logloss": M.logloss(labels_np, probs),
+            "auc": M.auc_state_finalize(auc_state),
+            "logloss": ll_sum / max(w_sum, 1.0),
         }
         history.append(rec)
         logger.log(rec)
@@ -308,6 +332,11 @@ def main(argv=None):
         help="dotted overrides, e.g. model.name=fm train.epochs=3",
     )
     ap.add_argument("--print-config", action="store_true")
+    ap.add_argument(
+        "--score", metavar="YX_FILE",
+        help="score a yx file with the checkpoint at train.checkpoint_path "
+        "and print one probability per line",
+    )
     args = ap.parse_args(argv)
 
     cfg = RunConfig.load(args.config) if args.config else RunConfig()
@@ -315,8 +344,36 @@ def main(argv=None):
     if args.print_config:
         print(cfg.to_json())
         return 0
+    if args.score:
+        return score(cfg, args.score)
     run(cfg)
     return 0
+
+
+def score(cfg, yx_path: str) -> int:
+    """Offline scoring surface (the reference's pred_fn role)."""
+    from .serving import Scorer
+
+    schema, *_ = _load_schema_only(cfg)
+    model = build_model(cfg, schema)
+    if not cfg.train.checkpoint_path:
+        raise SystemExit("--score requires train.checkpoint_path")
+    scorer = Scorer.from_checkpoint(
+        cfg.train.checkpoint_path, model, schema, batch_size=cfg.train.batch_size
+    )
+    for chunk in scorer.score_yx_file(yx_path, cfg.data.use_native_parser):
+        for p in chunk:
+            print(f"{p:.6f}")
+    return 0
+
+
+def _load_schema_only(cfg):
+    from .data import Schema, ipinyou_like_schema
+
+    if cfg.data.schema_path:
+        with open(cfg.data.schema_path) as f:
+            return (Schema.from_json(f.read()),)
+    return (ipinyou_like_schema(),)
 
 
 if __name__ == "__main__":

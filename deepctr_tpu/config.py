@@ -73,6 +73,10 @@ class TrainConfig:
     checkpoint_path: str | None = None
     metrics_path: str | None = None
     profile_dir: str | None = None
+    # debugging / multi-host
+    debug_nans: bool = False           # jax_debug_nans (sanitizer row, §5)
+    distributed: bool = False          # jax.distributed.initialize() for
+                                       # multi-host DCN meshes (no-op 1-host)
 
 
 @dataclasses.dataclass

@@ -1,0 +1,104 @@
+"""Batch scoring (the reference's ``pred_fn`` as a first-class API).
+
+Reference parity: each reference script compiles a ``pred_fn = theano.function
+([idx], ŷ)`` used for per-epoch test scoring (SURVEY.md §3.1).  Here scoring
+is a standalone surface: load a training checkpoint, jit the forward pass
+once, and stream scores for packed id batches or yx/criteo text files —
+usable for offline eval and as the building block of a serving replica.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from .data.pipeline import minibatches
+from .data.schema import Schema
+from .models.base import Model
+
+
+@dataclasses.dataclass
+class Scorer:
+    """Jit-compiled batch scorer for a trained model."""
+
+    model: Model
+    schema: Schema
+    table: "np.ndarray"
+    dense: dict
+    batch_size: int = 8192
+
+    def __post_init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        pad_id = self.schema.pad_id
+        model = self.model
+
+        @jax.jit
+        def fwd(table, dense, ids):
+            rows = jnp.take(table, ids, axis=0)
+            mask = (ids != pad_id).astype(jnp.float32)
+            return model.apply_rows(dense, rows, mask, train=False, rng=None)
+
+        self._fwd = fwd
+        self._table = jnp.asarray(self.table)
+        self._dense = jax.tree_util.tree_map(jnp.asarray, self.dense)
+
+    @staticmethod
+    def from_checkpoint(path: str, model: Model, schema: Schema,
+                        batch_size: int = 8192) -> "Scorer":
+        """Load from a train-state checkpoint written by the CLI/loop."""
+        import jax
+        import optax
+
+        from .optim import SparseSgd
+        from .train.step import init_state
+        from .utils.checkpoint import load_train_state
+
+        like = init_state(model, schema, SparseSgd(0.0), optax.sgd(0.0), seed=0)
+        # checkpoints store the full state; optimizer choice only shapes the
+        # optimizer-state leaves, which scoring ignores — but the treedef
+        # must match, so retry with Adagrad-shaped state if SGD-shaped fails
+        try:
+            state = load_train_state(path, like)
+        except Exception:
+            from .optim import SparseAdagrad
+
+            like = init_state(
+                model, schema, SparseAdagrad(0.0), optax.adagrad(0.0), seed=0
+            )
+            state = load_train_state(path, like)
+        return Scorer(model=model, schema=schema, table=state.table,
+                      dense=state.dense, batch_size=batch_size)
+
+    # ---- scoring ----------------------------------------------------------
+
+    def logits(self, ids: np.ndarray) -> np.ndarray:
+        """Score packed ``int32[N, S]`` ids -> logit per row."""
+        out = []
+        for b in minibatches(
+            ids, np.zeros(len(ids), np.float32), self.batch_size,
+            schema=self.schema, shuffle=False, drop_remainder=False,
+        ):
+            logits = np.asarray(self._fwd(self._table, self._dense, b.ids))
+            out.append(logits[b.weights > 0])
+        return np.concatenate(out) if out else np.empty(0, np.float32)
+
+    def predict(self, ids: np.ndarray) -> np.ndarray:
+        """Click probabilities in [0, 1]."""
+        x = np.clip(self.logits(ids), -30, 30)
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def score_yx_file(self, path: str, use_native: bool = True) -> Iterator[np.ndarray]:
+        """Stream a yx text file -> chunks of probabilities."""
+        from .data.pipeline import stream_yx_batches
+
+        for b in stream_yx_batches(
+            [path], self.schema, self.batch_size, use_native=use_native
+        ):
+            logits = np.asarray(self._fwd(self._table, self._dense, b.ids))
+            keep = b.weights > 0
+            x = np.clip(logits[keep], -30, 30)
+            yield 1.0 / (1.0 + np.exp(-x))

@@ -134,3 +134,36 @@ def test_cli_resume_from_checkpoint(tmp_path):
     resumed = [l for l in lines if l.get("event") == "resumed"]
     assert resumed and resumed[0]["step"] > 0
     assert np.isfinite(res["best_auc"])
+
+
+def test_cli_score_surface(tmp_path, capsys):
+    """Train -> checkpoint -> --score a yx file (the pred_fn role)."""
+    from deepctr_tpu.data import make_schema, synthetic
+
+    schema = make_schema([("a", 6), ("b", 12), ("c", 20)])
+    ds = synthetic.generate(schema, num_examples=2000, k=3, seed=5)
+    sp = str(tmp_path / "schema.json")
+    open(sp, "w").write(schema.to_json())
+    yx = str(tmp_path / "score_me.yx")
+    synthetic.write_yx_file(
+        synthetic.SyntheticDataset(schema, ds.ids[:300], ds.labels[:300],
+                                   ds.bayes_logits[:300]), yx)
+    tr = str(tmp_path / "tr.yx")
+    synthetic.write_yx_file(ds, tr)
+    ckpt = str(tmp_path / "m.ckpt")
+    base = [
+        "model.name=fm", "model.k=3", f"data.schema_path={sp}",
+        f"data.train_path={tr}", "train.batch_size=256", "train.epochs=2",
+        "train.prefetch=false", f"train.checkpoint_path={ckpt}",
+    ]
+    run(RunConfig().apply_overrides(base))
+    capsys.readouterr()
+    assert main(base + ["--score", yx]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    probs = np.asarray([float(x) for x in out])
+    assert len(probs) == 300
+    assert ((probs >= 0) & (probs <= 1)).all()
+    # scores must rank the labels meaningfully (AUC > chance)
+    from deepctr_tpu.utils.metrics import exact_auc
+
+    assert exact_auc(ds.labels[:300], probs) > 0.55
