@@ -17,7 +17,7 @@ import numpy as np
 
 
 def build_model(cfg, schema):
-    from .models import FMModel, LRModel, MlpSpec, SNNModel, make_fnn
+    from .models import FMModel, LRModel, MlpSpec, SNNModel, make_deepfm, make_fnn
 
     m = cfg.model
     if m.name == "lr":
@@ -33,6 +33,15 @@ def build_model(cfg, schema):
             init_sigma=m.init_sigma,
             use_pallas=m.use_pallas,
         )
+    if m.name == "deepfm":
+        return make_deepfm(
+            schema,
+            k=m.k,
+            mlp=MlpSpec(hidden=tuple(m.hidden), activation=m.activation,
+                        dropout=m.dropout),
+            init_sigma=m.init_sigma,
+            use_pallas=m.use_pallas,
+        )
     if m.name == "snn":
         return SNNModel(
             hidden1=m.hidden1,
@@ -41,7 +50,7 @@ def build_model(cfg, schema):
             init_sigma=m.init_sigma,
             use_pallas=m.use_pallas,
         )
-    raise ValueError(f"unknown model {m.name!r} (lr|fm|fnn|snn)")
+    raise ValueError(f"unknown model {m.name!r} (lr|fm|fnn|snn|deepfm)")
 
 
 def build_optimizers(cfg):

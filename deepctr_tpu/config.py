@@ -16,7 +16,7 @@ from typing import Any
 
 @dataclasses.dataclass
 class ModelConfig:
-    name: str = "fnn"                  # lr | fm | fnn | snn
+    name: str = "fnn"                  # lr | fm | fnn | snn | deepfm
     k: int = 10                        # FM/FNN latent factors
     hidden: tuple[int, ...] = (200, 300, 100)
     activation: str = "tanh"

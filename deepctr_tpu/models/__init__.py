@@ -13,6 +13,7 @@ from .base import (
     lazy_l2,
     weighted_bce_with_logits,
 )
+from .deepfm import DeepFMModel, make_deepfm
 from .fm import FMModel
 from .fnn import FNNModel, make_fnn
 from .lr import LRModel
@@ -27,6 +28,8 @@ __all__ = [
     "init_mlp",
     "lazy_l2",
     "weighted_bce_with_logits",
+    "DeepFMModel",
+    "make_deepfm",
     "FMModel",
     "FNNModel",
     "make_fnn",
