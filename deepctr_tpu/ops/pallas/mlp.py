@@ -131,22 +131,117 @@ def mlp_tower_fused(
     return out[:, 0]
 
 
-# --- differentiable wrapper: fused fwd, rematerialised jnp bwd -------------
+# --- fused backward kernel --------------------------------------------------
+#
+# One kernel per batch tile recomputes the forward chain in VMEM
+# (rematerialisation: activations never touch HBM) and backprops through it,
+# writing the x-gradient tile and ACCUMULATING weight/bias gradients across
+# the sequential grid (constant-index output blocks keep their VMEM buffer
+# between iterations; initialised at program 0).
+
+
+def _act_deriv(activation: str, a: jax.Array) -> jax.Array:
+    """Derivative of the activation expressed via its OUTPUT a = act(z)."""
+    if activation == "tanh":
+        return 1.0 - a * a
+    if activation == "relu":
+        return (a > 0.0).astype(a.dtype)
+    if activation == "sigmoid":
+        return a * (1.0 - a)
+    raise ValueError(activation)
+
+
+def _make_bwd_kernel(num_layers: int, activation: str):
+    def kernel(*refs):
+        # refs: x, (W, b) * L, g, -> gx, (gW, gb) * L
+        x_ref = refs[0]
+        g_ref = refs[1 + 2 * num_layers]
+        out_base = 2 + 2 * num_layers
+        gx_ref = refs[out_base]
+        first = pl.program_id(0) == 0
+
+        # forward recompute, keeping post-activation tensors
+        acts = [x_ref[:]]
+        h = x_ref[:]
+        for i in range(num_layers):
+            w_ref = refs[1 + 2 * i]
+            b_ref = refs[2 + 2 * i]
+            h = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
+            if i < num_layers - 1:
+                if activation == "tanh":
+                    h = jnp.tanh(h)
+                elif activation == "relu":
+                    h = jnp.maximum(h, 0.0)
+                elif activation == "sigmoid":
+                    h = jax.nn.sigmoid(h)
+            acts.append(h)
+
+        gh = g_ref[:]  # [TB, out_dim]
+        for i in reversed(range(num_layers)):
+            w_ref = refs[1 + 2 * i]
+            gw_ref = refs[out_base + 1 + 2 * i]
+            gb_ref = refs[out_base + 2 + 2 * i]
+            a_in = acts[i]
+            gw_part = jax.lax.dot_general(
+                a_in, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [P_in, P_out]
+            gb_part = jnp.sum(gh, axis=0, keepdims=True)
+
+            @pl.when(first)
+            def _():
+                gw_ref[:] = gw_part
+                gb_ref[:] = gb_part
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                gw_ref[:] = gw_ref[:] + gw_part
+                gb_ref[:] = gb_ref[:] + gb_part
+
+            gh = jax.lax.dot_general(
+                gh, w_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TB, P_in]
+            if i > 0:
+                gh = gh * _act_deriv(activation, acts[i])
+        gx_ref[:] = gh
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "interpret", "tile"))
+def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile):
+    B, P0 = x_pad.shape
+    num_layers = len(flat_params) // 2
+    grid = (B // tile,)
+    in_specs = [pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_dim = flat_params[-1].shape[-1]
+    in_specs.append(
+        pl.BlockSpec((tile, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    out_shapes = [jax.ShapeDtypeStruct((B, P0), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile, P0), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for p in flat_params:
+        out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        _make_bwd_kernel(num_layers, activation),
+        out_shape=tuple(out_shapes),
+        grid_spec=pl.GridSpec(grid=grid, in_specs=in_specs,
+                              out_specs=tuple(out_specs)),
+        interpret=interpret,
+    )(x_pad, *flat_params, g2d)
+    return outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def mlp_tower(mlp, x, activation="tanh", interpret=None):
     return mlp_tower_fused(mlp, x, activation, interpret)
-
-
-def _act(activation, z):
-    if activation == "tanh":
-        return jnp.tanh(z)
-    if activation == "relu":
-        return jnp.maximum(z, 0.0)
-    if activation == "sigmoid":
-        return jax.nn.sigmoid(z)
-    raise ValueError(activation)
 
 
 def _tower_fwd_rule(mlp, x, activation, interpret):
@@ -156,19 +251,26 @@ def _tower_fwd_rule(mlp, x, activation, interpret):
 
 def _tower_bwd_rule(activation, interpret, res, g):
     mlp, x = res
-
-    def ref_fwd(mlp_, x_):
-        h = x_
-        n = len(mlp_["layers"])
-        for i, layer in enumerate(mlp_["layers"]):
-            h = h @ layer["w"] + layer["b"]
-            if i < n - 1:
-                h = _act(activation, h)
-        return h[:, 0]
-
-    _, vjp = jax.vjp(ref_fwd, mlp, x)
-    gm, gx = vjp(g)
-    return gm, gx
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, in_dim = x.shape
+    layers = mlp["layers"]
+    padded, dims, pdims = _pad_params(layers, in_dim)
+    x_pad = jnp.pad(x, ((0, 0), (0, pdims[0] - in_dim)))
+    tile = 512 if B % 512 == 0 else (128 if B % 128 == 0 else B)
+    flat = []
+    for W, b in padded:
+        flat.extend([W, b])
+    # upstream grad arrives for output column 0 only; padded cols get 0
+    g2d = jnp.zeros((B, pdims[-1]), jnp.float32).at[:, 0].set(g)
+    outs = _tower_bwd(x_pad, tuple(flat), g2d, activation, interpret, tile)
+    gx = outs[0][:, :in_dim]
+    glayers = []
+    for i in range(len(layers)):
+        gW = outs[1 + 2 * i][: dims[i], : dims[i + 1]]
+        gb = outs[2 + 2 * i][0, : dims[i + 1]]
+        glayers.append({"w": gW, "b": gb})
+    return {"layers": glayers}, gx
 
 
 mlp_tower.defvjp(_tower_fwd_rule, _tower_bwd_rule)

@@ -182,3 +182,37 @@ def test_criteo_trains():
         early_stop_patience=4,
     )
     assert res.best_auc > 0.7, res.history
+
+
+def test_device_prefetcher(tiny_schema, tiny_dataset):
+    from deepctr_tpu.data import DevicePrefetcher, minibatches
+
+    it = minibatches(
+        tiny_dataset.ids[:1000], tiny_dataset.labels[:1000], 256,
+        schema=tiny_schema, shuffle=False, drop_remainder=False,
+    )
+    batches = list(DevicePrefetcher(it, depth=2))
+    assert len(batches) == 4
+    import jax
+
+    assert isinstance(batches[0].ids, jax.Array)
+    total = sum(int(b.weights.sum()) for b in batches)
+    assert total == 1000
+
+
+def test_device_prefetcher_propagates_errors(tiny_schema):
+    from deepctr_tpu.data import Batch, DevicePrefetcher
+
+    def bad_iter():
+        yield Batch(
+            ids=np.zeros((4, tiny_schema.num_slots), np.int32),
+            labels=np.zeros(4, np.float32),
+            weights=np.ones(4, np.float32),
+        )
+        raise RuntimeError("boom")
+
+    it = DevicePrefetcher(bad_iter(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        while True:
+            next(it)

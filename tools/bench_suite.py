@@ -1,0 +1,209 @@
+"""Extended benchmark suite -> BENCH.md.
+
+Covers the three BASELINE.json:2 metric families beyond bench.py's single
+headline line: per-model training throughput, embedding lookups/s, host
+parser throughput (native C++ vs NumPy), and kernel microbenchmarks.
+
+Timing protocol (hard-won; see BENCH.md): through the tunneled runtime,
+``block_until_ready`` can return before execution and per-dispatch wall
+timing under-reports by >10x, so every device measurement runs T and 2T
+steps inside one ``lax.scan`` (or one fused jit) and reports the marginal
+cost, with a host fetch as the barrier.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _marginal(run, t_small, t_big):
+    """run(count) -> seconds; returns marginal seconds per unit."""
+    run(t_small)  # compile small
+    run(t_big)    # compile big
+    a = run(t_small)
+    b = run(t_big)
+    return max(b - a, 1e-9) / (t_big - t_small)
+
+
+def bench_models(results):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepctr_tpu.data import ipinyou_like_schema, synthetic
+    from deepctr_tpu.models import FMModel, LRModel, make_deepfm, make_fnn, MlpSpec
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.train import init_state
+    from deepctr_tpu.train.step import make_scan_train_step
+
+    schema = ipinyou_like_schema()
+    B, T = 8192, 8  # small T: scan compile is expensive; marginal method
+    # still cancels fixed overhead via the 2T run
+    ds = synthetic.generate(schema, num_examples=B * 2 * T, k=4, seed=3)
+
+    def stacked(c):
+        out = (
+            jnp.asarray(ds.ids[: c * B]).reshape(c, B, -1),
+            jnp.asarray(ds.labels[: c * B]).reshape(c, B),
+            jnp.ones((c, B), jnp.float32),
+        )
+        float(out[0].sum())
+        return out
+
+    models = {
+        "lr": LRModel(),
+        "fm": FMModel(k=10),
+        "fm_pallas": FMModel(k=10, use_pallas=True),
+        "fnn": make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5)),
+        "deepfm": make_deepfm(schema, k=10),
+    }
+    for name, model in models.items():
+        sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
+        state = init_state(model, schema, sopt, dopt, seed=0)
+        scan_step = make_scan_train_step(model, schema, sopt, dopt)
+        holder = {"state": state}
+
+        def run(c):
+            batch = stacked(c)
+            t0 = time.perf_counter()
+            st, losses = scan_step(holder["state"], *batch)
+            np.asarray(losses)
+            holder["state"] = st
+            return time.perf_counter() - t0
+
+        per_step = _marginal(run, T, 2 * T)
+        results[f"train_examples_per_s/{name}"] = B / per_step
+        print(f"{name}: {per_step*1e3:.2f} ms/step -> {B/per_step:,.0f} ex/s")
+
+
+def bench_lookup(results):
+    import jax
+    import jax.numpy as jnp
+
+    from deepctr_tpu.data import ipinyou_like_schema
+
+    schema = ipinyou_like_schema()
+    V, D = schema.padded_vocab_size, 11
+    M = 8192 * schema.num_slots
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, size=M).astype(np.int32))
+
+    import functools
+
+    def make_run(f):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def scan_n(x, n):
+            def body(c, _):
+                return f(c), None
+
+            out, _ = jax.lax.scan(body, x, None, length=n)
+            return out
+
+        def run(c):
+            t0 = time.perf_counter()
+            o = scan_n(ids, n=c)
+            np.asarray(o[:8])
+            return time.perf_counter() - t0
+
+        return run
+
+    # lookup: gather M rows then fold back to ids (chained dependency)
+    def lookup_once(cur_ids):
+        rows = jnp.take(table, cur_ids, axis=0)
+        return (cur_ids + rows[:, 0].astype(jnp.int32) * 0) % V
+
+    run = make_run(lookup_once)
+    per = _marginal(run, 10, 20)
+    results["embedding_lookups_per_s"] = M / per
+    print(f"lookup: {per*1e3:.3f} ms/{M} rows -> {M/per:,.0f} lookups/s")
+
+    # scatter-add (the update path's dominant op)
+    rows_g = jnp.asarray(rng.normal(size=(M, D)).astype(np.float32))
+
+    def scatter_once(tbl):
+        return tbl.at[ids].add(rows_g) * 0.999  # decay keeps values bounded
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def scan_scatter(tbl, n):
+        def body(c, _):
+            return scatter_once(c), None
+
+        out, _ = jax.lax.scan(body, tbl, None, length=n)
+        return out
+
+    def run_s(c):
+        t0 = time.perf_counter()
+        o = scan_scatter(table, n=c)
+        np.asarray(o[:1])
+        return time.perf_counter() - t0
+
+    per = _marginal(run_s, 10, 20)
+    results["scatter_add_rows_per_s"] = M / per
+    print(f"scatter-add: {per*1e3:.3f} ms/{M} rows -> {M/per:,.0f} rows/s")
+
+
+def bench_parser(results):
+    from deepctr_tpu.data import ipinyou_like_schema, synthetic
+    from deepctr_tpu.data import native, parser
+
+    schema = ipinyou_like_schema()
+    ds = synthetic.generate(schema, num_examples=100_000, k=2, seed=9)
+    path = "/tmp/bench_parse.yx"
+    synthetic.write_yx_file(ds, path)
+    size_mb = os.path.getsize(path) / 1e6
+    with open(path, "rb") as f:
+        data = f.read()
+
+    t0 = time.perf_counter()
+    native.parse_yx_bytes(data, schema)
+    t_native = time.perf_counter() - t0
+    results["parser_native_mb_per_s"] = size_mb / t_native
+
+    t0 = time.perf_counter()
+    parser.parse_yx_lines(data.splitlines(), schema)
+    t_py = time.perf_counter() - t0
+    results["parser_python_mb_per_s"] = size_mb / t_py
+    print(
+        f"parser: native {size_mb/t_native:.0f} MB/s, python {size_mb/t_py:.1f} "
+        f"MB/s ({t_py/t_native:.0f}x)"
+    )
+
+
+def main():
+    import jax
+
+    results = {}
+    backend = jax.default_backend()
+    bench_parser(results)
+    bench_models(results)
+    bench_lookup(results)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH.md")
+    with open(out, "w") as f:
+        f.write("# BENCH — measured performance (deepctr_tpu)\n\n")
+        f.write(f"Backend: `{backend}` ({jax.devices()[0]}). ")
+        f.write(
+            "Protocol: device measurements are the MARGINAL cost of T vs 2T "
+            "steps inside one `lax.scan` dispatch with a host fetch as the "
+            "barrier — through this environment's tunneled runtime, "
+            "`block_until_ready` can return before execution and naive "
+            "per-dispatch timing under-reports device cost by >10x "
+            "(discovered via profiler traces; see git history).\n\n"
+        )
+        f.write("| metric | value |\n|---|---|\n")
+        for k, v in results.items():
+            f.write(f"| {k} | {v:,.0f} |\n")
+        f.write(f"\nGenerated by tools/bench_suite.py at {time.ctime()}.\n")
+    print(f"wrote {out}")
+    print(json.dumps({k: round(v, 1) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
