@@ -66,7 +66,7 @@ def measure_baseline(schema, ids, labels) -> float:
 
 
 def _config_key():
-    return {"batch": BATCH, "k": K, "hidden": list(HIDDEN), "model": "fnn"}
+    return {"batch": BATCH, "k": K, "hidden": list(HIDDEN), "model": "fnn", "schema": "ipinyou_full"}
 
 
 def main():
@@ -74,14 +74,16 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from deepctr_tpu.data import ipinyou_like_schema, synthetic
+    from deepctr_tpu.data import ipinyou_full_schema, synthetic
     from deepctr_tpu.models import MlpSpec, make_fnn
     from deepctr_tpu.optim import SparseAdagrad
     from deepctr_tpu.train import init_state, make_train_step
 
     from deepctr_tpu.train.step import make_scan_train_step
 
-    schema = ipinyou_like_schema()
+    # full-iPinYou-scale vocabulary (~0.94M features): the headline
+    # number must reflect production-representative table sizes
+    schema = ipinyou_full_schema()
     ds = synthetic.generate(schema, num_examples=N_EXAMPLES, k=4, seed=3)
 
     model = make_fnn(schema, k=K, mlp=MlpSpec(hidden=HIDDEN, dropout=0.5))

@@ -219,6 +219,7 @@ def run(cfg) -> dict:
             l2=cfg.optim.l2,
             seed=cfg.train.seed,
             early_stop_patience=cfg.train.early_stop_patience,
+            lr_decay=cfg.train.lr_decay,
             state=state,
             logger=logger,
             prefetch=cfg.train.prefetch,

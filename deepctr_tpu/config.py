@@ -56,6 +56,7 @@ class TrainConfig:
     epochs: int = 10
     seed: int = 0
     early_stop_patience: int = 2
+    lr_decay: float = 1.0     # per-epoch multiplicative LR decay
     prefetch: bool = True
     # SNN pretraining phase
     pretrain: str | None = None        # dae | rbm | None

@@ -5,7 +5,7 @@ index utilities, batch slicing — redesigned as packed per-field int32 ID
 tensors with a prefetching host pipeline (BASELINE.json:5).
 """
 
-from .schema import FieldSpec, Schema, ipinyou_like_schema, make_schema
+from .schema import FieldSpec, Schema, ipinyou_full_schema, ipinyou_like_schema, make_schema
 from .parser import parse_yx_file, parse_yx_lines, pack_ids
 from .pipeline import Batch, DevicePrefetcher, epoch_iterator, minibatches
 from .synthetic import SyntheticDataset, generate, write_yx_file
@@ -13,6 +13,7 @@ from .synthetic import SyntheticDataset, generate, write_yx_file
 __all__ = [
     "FieldSpec",
     "Schema",
+    "ipinyou_full_schema",
     "ipinyou_like_schema",
     "make_schema",
     "parse_yx_file",

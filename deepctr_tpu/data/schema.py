@@ -135,6 +135,36 @@ def make_schema(specs: Sequence[tuple[str, int] | tuple[str, int, int]]) -> Sche
     return Schema(tuple(fields))
 
 
+def ipinyou_full_schema() -> Schema:
+    """Full-iPinYou-scale feature space (~0.94M one-hot features).
+
+    The reference's headline FNN config trains on "full iPinYou"
+    (BASELINE.json:9) whose global one-hot dimension is ~937k, dominated by
+    the user/url/domain tails.  Used by bench.py so the headline throughput
+    is measured at representative vocabulary scale.
+    """
+    return make_schema(
+        [
+            ("weekday", 8),
+            ("hour", 25),
+            ("useragent", 48),
+            ("region", 36),
+            ("city", 400),
+            ("adexchange", 6),
+            ("domain", 300_000),
+            ("url", 500_000),
+            ("slotid", 120_000),
+            ("slotwidth", 22),
+            ("slotheight", 15),
+            ("slotvisibility", 12),
+            ("slotformat", 5),
+            ("slotprice", 10),
+            ("creative", 7_000),
+            ("usertag", 70, 3),
+        ]
+    )
+
+
 def ipinyou_like_schema() -> Schema:
     """A schema shaped like the iPinYou feature space the reference trains on.
 

@@ -72,6 +72,7 @@ def fit(
     l2: float = 0.0,
     seed: int = 0,
     early_stop_patience: int = 2,
+    lr_decay: float = 1.0,
     state: TrainState | None = None,
     logger: MetricsLogger | None = None,
     prefetch: bool = True,
@@ -102,10 +103,11 @@ def fit(
         )
         if prefetch:
             it = DevicePrefetcher(it, depth=2)
+        lr_scale = lr_decay**epoch
         n_batches = 0
         losses = []  # device scalars; fetched once per epoch (a float() per
         for b in it:  # step would force a host sync on every dispatch)
-            state, m = step(state, b.ids, b.labels, b.weights)
+            state, m = step(state, b.ids, b.labels, b.weights, lr_scale)
             losses.append(m.loss)
             n_batches += 1
         import jax

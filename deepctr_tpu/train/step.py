@@ -72,7 +72,7 @@ def make_train_step(
     """Build ``step(state, ids, labels, weights) -> (state, metrics)``."""
     pad_id = schema.pad_id
 
-    def step(state: TrainState, ids, labels, weights):
+    def step(state: TrainState, ids, labels, weights, lr_scale=1.0):
         rng, step_rng = jax.random.split(state.rng)
         mask = (ids != pad_id).astype(jnp.float32)
         rows = jnp.take(state.table, ids, axis=0)  # [B, S, D]
@@ -90,9 +90,12 @@ def make_train_step(
         occ_ids = ids.reshape(-1)
         occ_rows = g_rows.reshape(-1, g_rows.shape[-1])
         table, sparse_state = sparse_opt.update(
-            state.table, state.sparse_state, occ_ids, occ_rows
+            state.table, state.sparse_state, occ_ids, occ_rows, lr_scale=lr_scale
         )
         updates, dense_state = dense_opt.update(g_dense, state.dense_state, state.dense)
+        # the reference decays its learning rate over epochs (SURVEY.md §3.1
+        # "early stop / LR decay"); lr_scale applies uniformly to both sides
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         dense = optax.apply_updates(state.dense, updates)
         new_state = TrainState(
             step=state.step + 1,
