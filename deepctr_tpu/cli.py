@@ -220,6 +220,7 @@ def run(cfg) -> dict:
             seed=cfg.train.seed,
             early_stop_patience=cfg.train.early_stop_patience,
             lr_decay=cfg.train.lr_decay,
+            scan_steps=cfg.train.scan_steps,
             state=state,
             logger=logger,
             prefetch=cfg.train.prefetch,

@@ -57,6 +57,7 @@ class TrainConfig:
     seed: int = 0
     early_stop_patience: int = 2
     lr_decay: float = 1.0     # per-epoch multiplicative LR decay
+    scan_steps: int = 8       # minibatch steps fused per dispatch (0 = off)
     prefetch: bool = True
     # SNN pretraining phase
     pretrain: str | None = None        # dae | rbm | None

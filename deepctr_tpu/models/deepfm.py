@@ -69,10 +69,25 @@ class DeepFMModel:
         onehot = jax.nn.one_hot(slot_field, self.num_fields, dtype=x.dtype)
         pooled = jnp.einsum("bsd,sf->bfd", x, onehot)
         flat = pooled.reshape(pooled.shape[0], -1)
-        if self.use_pallas and (not train or self.mlp.dropout == 0.0):
+        if self.use_pallas:
             from ..ops.pallas import mlp_tower
 
-            deep_part = mlp_tower(dense["mlp"], flat, self.mlp.activation)
+            drop = self.mlp.dropout if train else 0.0
+            if drop > 0.0:
+                # in-kernel dropout is DISABLED pending a seed-plumbing bug
+                # seen on TPU (different seeds produced identical masks in
+                # the fused kernel; see tests/test_pallas.py TPU-only test);
+                # route through the jnp dropout path instead
+                deep_part = apply_mlp(dense["mlp"], flat, self.mlp,
+                                      train=train, rng=rng)
+            elif drop > 0.0:
+                seed = jax.random.randint(rng, (), 0, 2**31 - 1).astype(
+                    jnp.float32
+                )
+                deep_part = mlp_tower(dense["mlp"], flat, self.mlp.activation,
+                                      None, drop, seed)
+            else:
+                deep_part = mlp_tower(dense["mlp"], flat, self.mlp.activation)
         else:
             deep_part = apply_mlp(dense["mlp"], flat, self.mlp, train=train, rng=rng)
         return fm_part + deep_part + dense["bias"]

@@ -54,10 +54,24 @@ class FNNModel:
         onehot = jax.nn.one_hot(slot_field, self.num_fields, dtype=x.dtype)
         pooled = jnp.einsum("bsd,sf->bfd", x, onehot)          # [B, F, 1+k]
         flat = pooled.reshape(pooled.shape[0], -1)             # [B, F*(1+k)]
-        # fused tower has no dropout path; use it whenever dropout is inactive
-        if self.use_pallas and (not train or self.mlp.dropout == 0.0):
+        if self.use_pallas:
             from ..ops.pallas import mlp_tower
 
+            drop = self.mlp.dropout if train else 0.0
+            if drop > 0.0:
+                # in-kernel dropout is DISABLED pending a seed-plumbing bug
+                # seen on TPU (different seeds produced identical masks in
+                # the fused kernel; see tests/test_pallas.py TPU-only test);
+                # route through the jnp dropout path instead
+                return apply_mlp(dense["mlp"], flat, self.mlp, train=train,
+                                 rng=rng)
+            if drop > 0.0:
+                # in-kernel dropout (pltpu PRNG) seeded from the step rng
+                seed = jax.random.randint(rng, (), 0, 2**31 - 1).astype(
+                    jnp.float32
+                )
+                return mlp_tower(dense["mlp"], flat, self.mlp.activation,
+                                 None, drop, seed)
             return mlp_tower(dense["mlp"], flat, self.mlp.activation)
         return apply_mlp(dense["mlp"], flat, self.mlp, train=train, rng=rng)
 

@@ -59,9 +59,23 @@ class SNNModel:
         # rows: [B, S, h1]; bottom layer = sigma(sum of active rows + b1)
         z = (rows * mask[..., None]).sum(axis=1) + dense["b1"]
         h = jax.nn.sigmoid(z)
-        if self.use_pallas and (not train or self.mlp.dropout == 0.0):
+        if self.use_pallas:
             from ..ops.pallas import mlp_tower
 
+            drop = self.mlp.dropout if train else 0.0
+            if drop > 0.0:
+                # in-kernel dropout is DISABLED pending a seed-plumbing bug
+                # seen on TPU (different seeds produced identical masks in
+                # the fused kernel; see tests/test_pallas.py TPU-only test);
+                # route through the jnp dropout path instead
+                return apply_mlp(dense["mlp"], h, self.mlp, train=train,
+                                 rng=rng)
+            if drop > 0.0:
+                seed = jax.random.randint(rng, (), 0, 2**31 - 1).astype(
+                    jnp.float32
+                )
+                return mlp_tower(dense["mlp"], h, self.mlp.activation,
+                                 None, drop, seed)
             return mlp_tower(dense["mlp"], h, self.mlp.activation)
         return apply_mlp(dense["mlp"], h, self.mlp, train=train, rng=rng)
 

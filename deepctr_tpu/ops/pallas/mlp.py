@@ -46,8 +46,35 @@ def _pad_params(layers: list[dict], in_dim: int):
     return padded, dims, pdims
 
 
-def _make_kernel(num_layers: int, activation: str):
+def _apply_act(activation: str, h: jax.Array) -> jax.Array:
+    if activation == "tanh":
+        return jnp.tanh(h)
+    if activation == "relu":
+        return jnp.maximum(h, 0.0)
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(h)
+    raise ValueError(activation)
+
+
+def _dropout_mask(shape, keep_prob: float) -> jax.Array:
+    """In-kernel dropout mask from the per-core PRNG (already seeded).
+
+    Draw order is deterministic given the seed, so the backward kernel
+    regenerates identical masks by re-seeding identically.
+    """
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = jnp.uint32(int(keep_prob * 0xFFFFFFFF))
+    return (bits < threshold).astype(jnp.float32) / keep_prob
+
+
+def _make_kernel(num_layers: int, activation: str, dropout: float = 0.0):
+    has_drop = dropout > 0.0
+
     def kernel(*refs):
+        if has_drop:
+            seed_ref = refs[0]
+            refs = refs[1:]
+            pltpu.prng_seed(seed_ref[0, 0].astype(jnp.int32) + pl.program_id(0))
         x_ref = refs[0]
         out_ref = refs[-1]
         h = x_ref[:]
@@ -62,29 +89,37 @@ def _make_kernel(num_layers: int, activation: str):
                 + b_ref[:]
             )
             if i < num_layers - 1:
-                if activation == "tanh":
-                    h = jnp.tanh(h)
-                elif activation == "relu":
-                    h = jnp.maximum(h, 0.0)
-                elif activation == "sigmoid":
-                    h = jax.nn.sigmoid(h)
+                h = _apply_act(activation, h)
+                if has_drop:
+                    h = h * _dropout_mask(h.shape, 1.0 - dropout)
         out_ref[:] = h
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("activation", "interpret", "tile")
+    jax.jit, static_argnames=("activation", "interpret", "tile", "dropout")
 )
-def _tower_fwd(x_pad, flat_params, activation, interpret, tile):
+def _tower_fwd(x_pad, flat_params, activation, interpret, tile, dropout=0.0,
+               seed=None):
     B, P0 = x_pad.shape
     num_layers = len(flat_params) // 2
     grid = (B // tile,)
-    in_specs = [pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    in_specs = []
+    args = []
+    if dropout > 0.0:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(seed, jnp.float32).reshape(1, 1))
+    in_specs.append(
+        pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(x_pad)
     for j, p in enumerate(flat_params):
         in_specs.append(
             pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
+        args.append(p)
     out_dim = flat_params[-1].shape[-1]
     flops = 0
     d_prev = P0
@@ -93,7 +128,7 @@ def _tower_fwd(x_pad, flat_params, activation, interpret, tile):
         flops += 2 * B * d_prev * d_next
         d_prev = d_next
     out = pl.pallas_call(
-        _make_kernel(num_layers, activation),
+        _make_kernel(num_layers, activation, dropout),
         out_shape=jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -106,7 +141,7 @@ def _tower_fwd(x_pad, flat_params, activation, interpret, tile):
             flops=flops, bytes_accessed=4 * (B * P0 + B * out_dim), transcendentals=0
         ),
         interpret=interpret,
-    )(x_pad, *flat_params)
+    )(*args)
     return out
 
 
@@ -115,8 +150,15 @@ def mlp_tower_fused(
     x: jax.Array,
     activation: str = "tanh",
     interpret: bool | None = None,
+    dropout: float = 0.0,
+    seed: int | jax.Array = 0,
 ) -> jax.Array:
-    """Fused forward through ``{"layers": [{"w", "b"}, ...]}`` -> [B] logits."""
+    """Fused forward through ``{"layers": [{"w", "b"}, ...]}`` -> [B] logits.
+
+    ``dropout > 0`` enables in-kernel dropout via the TPU per-core PRNG
+    (pltpu.prng_*); masks are a deterministic function of ``seed`` and the
+    grid position, so the fused backward regenerates them exactly.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, in_dim = x.shape
@@ -127,7 +169,8 @@ def mlp_tower_fused(
     flat = []
     for W, b in padded:
         flat.extend([W, b])
-    out = _tower_fwd(x_pad, tuple(flat), activation, interpret, tile)
+    out = _tower_fwd(x_pad, tuple(flat), activation, interpret, tile,
+                     dropout=dropout, seed=seed)
     return out[:, 0]
 
 
@@ -151,30 +194,42 @@ def _act_deriv(activation: str, a: jax.Array) -> jax.Array:
     raise ValueError(activation)
 
 
-def _make_bwd_kernel(num_layers: int, activation: str):
+def _make_bwd_kernel(num_layers: int, activation: str, dropout: float = 0.0):
+    has_drop = dropout > 0.0
+
     def kernel(*refs):
-        # refs: x, (W, b) * L, g, -> gx, (gW, gb) * L
+        # refs: [seed?], x, (W, b) * L, g, -> gx, (gW, gb) * L
+        if has_drop:
+            seed_ref = refs[0]
+            refs = refs[1:]
+            # identical seeding to the forward kernel -> identical masks
+            pltpu.prng_seed(seed_ref[0, 0].astype(jnp.int32) + pl.program_id(0))
         x_ref = refs[0]
         g_ref = refs[1 + 2 * num_layers]
         out_base = 2 + 2 * num_layers
         gx_ref = refs[out_base]
         first = pl.program_id(0) == 0
 
-        # forward recompute, keeping post-activation tensors
+        # forward recompute, keeping PRE-dropout activations and the masks
+        # (draw order matches the forward kernel exactly)
         acts = [x_ref[:]]
+        masks = [None]
         h = x_ref[:]
         for i in range(num_layers):
             w_ref = refs[1 + 2 * i]
             b_ref = refs[2 + 2 * i]
             h = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
+            mask = None
             if i < num_layers - 1:
-                if activation == "tanh":
-                    h = jnp.tanh(h)
-                elif activation == "relu":
-                    h = jnp.maximum(h, 0.0)
-                elif activation == "sigmoid":
-                    h = jax.nn.sigmoid(h)
-            acts.append(h)
+                h = _apply_act(activation, h)
+                a_pre = h
+                if has_drop:
+                    mask = _dropout_mask(h.shape, 1.0 - dropout)
+                    h = h * mask
+            else:
+                a_pre = h
+            acts.append(a_pre)
+            masks.append(mask)
 
         gh = g_ref[:]  # [TB, out_dim]
         for i in reversed(range(num_layers)):
@@ -182,6 +237,8 @@ def _make_bwd_kernel(num_layers: int, activation: str):
             gw_ref = refs[out_base + 1 + 2 * i]
             gb_ref = refs[out_base + 2 + 2 * i]
             a_in = acts[i]
+            if i > 0 and masks[i] is not None:
+                a_in = a_in * masks[i]
             gw_part = jax.lax.dot_general(
                 a_in, gh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -203,18 +260,30 @@ def _make_bwd_kernel(num_layers: int, activation: str):
                 preferred_element_type=jnp.float32,
             )  # [TB, P_in]
             if i > 0:
+                if masks[i] is not None:
+                    gh = gh * masks[i]
                 gh = gh * _act_deriv(activation, acts[i])
         gx_ref[:] = gh
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "interpret", "tile"))
-def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile):
+@functools.partial(jax.jit, static_argnames=("activation", "interpret", "tile",
+                                              "dropout"))
+def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile,
+               dropout=0.0, seed=None):
     B, P0 = x_pad.shape
     num_layers = len(flat_params) // 2
     grid = (B // tile,)
-    in_specs = [pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    in_specs = []
+    pre_args = []
+    if dropout > 0.0:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        pre_args.append(jnp.asarray(seed, jnp.float32).reshape(1, 1))
+    in_specs.append(
+        pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
     for p in flat_params:
         in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -230,27 +299,30 @@ def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile):
         out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
-        _make_bwd_kernel(num_layers, activation),
+        _make_bwd_kernel(num_layers, activation, dropout),
         out_shape=tuple(out_shapes),
         grid_spec=pl.GridSpec(grid=grid, in_specs=in_specs,
                               out_specs=tuple(out_specs)),
         interpret=interpret,
-    )(x_pad, *flat_params, g2d)
+    )(*pre_args, x_pad, *flat_params, g2d)
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def mlp_tower(mlp, x, activation="tanh", interpret=None):
-    return mlp_tower_fused(mlp, x, activation, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def mlp_tower(mlp, x, activation="tanh", interpret=None, dropout=0.0,
+              seed=0.0):
+    """Differentiable fused tower; ``dropout``/``seed`` enable in-kernel
+    dropout (seed is a traced f32 scalar with zero gradient)."""
+    return mlp_tower_fused(mlp, x, activation, interpret, dropout, seed)
 
 
-def _tower_fwd_rule(mlp, x, activation, interpret):
-    out = mlp_tower_fused(mlp, x, activation, interpret)
-    return out, (mlp, x)
+def _tower_fwd_rule(mlp, x, activation, interpret, dropout, seed):
+    out = mlp_tower_fused(mlp, x, activation, interpret, dropout, seed)
+    return out, (mlp, x, seed)
 
 
-def _tower_bwd_rule(activation, interpret, res, g):
-    mlp, x = res
+def _tower_bwd_rule(activation, interpret, dropout, res, g):
+    mlp, x, seed = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, in_dim = x.shape
@@ -263,14 +335,15 @@ def _tower_bwd_rule(activation, interpret, res, g):
         flat.extend([W, b])
     # upstream grad arrives for output column 0 only; padded cols get 0
     g2d = jnp.zeros((B, pdims[-1]), jnp.float32).at[:, 0].set(g)
-    outs = _tower_bwd(x_pad, tuple(flat), g2d, activation, interpret, tile)
+    outs = _tower_bwd(x_pad, tuple(flat), g2d, activation, interpret, tile,
+                      dropout=dropout, seed=seed)
     gx = outs[0][:, :in_dim]
     glayers = []
     for i in range(len(layers)):
         gW = outs[1 + 2 * i][: dims[i], : dims[i + 1]]
         gb = outs[2 + 2 * i][0, : dims[i + 1]]
         glayers.append({"w": gW, "b": gb})
-    return {"layers": glayers}, gx
+    return {"layers": glayers}, gx, jnp.zeros_like(jnp.asarray(seed, jnp.float32))
 
 
 mlp_tower.defvjp(_tower_fwd_rule, _tower_bwd_rule)

@@ -73,6 +73,7 @@ def fit(
     seed: int = 0,
     early_stop_patience: int = 2,
     lr_decay: float = 1.0,
+    scan_steps: int = 0,
     state: TrainState | None = None,
     logger: MetricsLogger | None = None,
     prefetch: bool = True,
@@ -82,8 +83,20 @@ def fit(
 
     Mirrors the reference's training procedure (SURVEY.md §2.3: epochs over
     shuffled minibatches, per-epoch test eval, early stop on AUC).
+
+    ``scan_steps > 1`` fuses that many minibatch steps into one jitted
+    ``lax.scan`` dispatch — semantically identical training, but host
+    dispatch cost amortises to ~zero (essential through remote runtimes
+    where each dispatch costs milliseconds; see ARCHITECTURE.md §6).
     """
+    from .step import make_scan_train_step
+
     step = make_train_step(model, schema, sparse_opt, dense_opt, l2=l2)
+    scan_step = (
+        make_scan_train_step(model, schema, sparse_opt, dense_opt, l2=l2)
+        if scan_steps > 1
+        else None
+    )
     eval_step = make_eval_step(model, schema)
     if state is None:
         state = init_state(model, schema, sparse_opt, dense_opt, seed=seed)
@@ -92,24 +105,60 @@ def fit(
     best_auc, best_epoch, since_best = -np.inf, -1, 0
     for epoch in range(epochs):
         t0 = time.perf_counter()
-        it = minibatches(
-            train_ids,
-            train_labels,
-            batch_size,
-            schema=schema,
-            shuffle=True,
-            seed=seed + epoch,
-            drop_remainder=True,
-        )
-        if prefetch:
-            it = DevicePrefetcher(it, depth=2)
         lr_scale = lr_decay**epoch
         n_batches = 0
         losses = []  # device scalars; fetched once per epoch (a float() per
-        for b in it:  # step would force a host sync on every dispatch)
-            state, m = step(state, b.ids, b.labels, b.weights, lr_scale)
-            losses.append(m.loss)
-            n_batches += 1
+        if scan_step is not None:
+            import jax.numpy as jnp
+
+            n = train_ids.shape[0]
+            order = np.arange(n)
+            np.random.default_rng(seed + epoch).shuffle(order)
+            chunk = scan_steps * batch_size
+            S = train_ids.shape[1]
+            for start in range(0, n - batch_size + 1, chunk):
+                sel = order[start : start + chunk]
+                nb = len(sel) // batch_size          # whole batches only
+                sel = sel[: nb * batch_size]
+                if nb == 0:
+                    break
+                ids_t = train_ids[sel].reshape(nb, batch_size, S)
+                y_t = train_labels[sel].reshape(nb, batch_size)
+                w_t = np.ones((nb, batch_size), np.float32)
+                if nb < scan_steps:  # pad to the compiled T with no-op steps
+                    padb = scan_steps - nb
+                    ids_t = np.concatenate(
+                        [ids_t, np.full((padb, batch_size, S), schema.pad_id,
+                                        np.int32)]
+                    )
+                    y_t = np.concatenate(
+                        [y_t, np.zeros((padb, batch_size), np.float32)]
+                    )
+                    w_t = np.concatenate(
+                        [w_t, np.zeros((padb, batch_size), np.float32)]
+                    )
+                state, chunk_losses = scan_step(
+                    state, jnp.asarray(ids_t), jnp.asarray(y_t),
+                    jnp.asarray(w_t), lr_scale
+                )
+                losses.append(chunk_losses[:nb].sum())
+                n_batches += nb
+        else:
+            it = minibatches(
+                train_ids,
+                train_labels,
+                batch_size,
+                schema=schema,
+                shuffle=True,
+                seed=seed + epoch,
+                drop_remainder=True,
+            )
+            if prefetch:
+                it = DevicePrefetcher(it, depth=2)
+            for b in it:  # step would force a host sync on every dispatch)
+                state, m = step(state, b.ids, b.labels, b.weights, lr_scale)
+                losses.append(m.loss)
+                n_batches += 1
         import jax
 
         jax.block_until_ready(state.table)

@@ -133,9 +133,9 @@ def make_scan_train_step(
     """
     inner = make_train_step(model, schema, sparse_opt, dense_opt, l2=l2, jit=False)
 
-    def scan_step(state: TrainState, ids, labels, weights):
+    def scan_step(state: TrainState, ids, labels, weights, lr_scale=1.0):
         def body(st, batch):
-            st2, m = inner(st, *batch)
+            st2, m = inner(st, *batch, lr_scale)
             return st2, m.loss
 
         state, losses = jax.lax.scan(body, state, (ids, labels, weights))

@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DEEPCTR_TEST_TPU=1 runs the suite against the real chip (used to exercise
+# TPU-only paths like pltpu.prng dropout); default is 8 virtual CPU devices
+if os.environ.get("DEEPCTR_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 import numpy as np  # noqa: E402

@@ -83,3 +83,52 @@ def test_fm_score_odd_batch_sizes():
     w, v = rows[..., 0], rows[..., 1:]
     want = (w * mask).sum(axis=1) + fm_interaction(v, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng_* has no CPU interpreter lowering in this JAX version",
+)
+def test_mlp_tower_in_kernel_dropout():
+    """In-kernel dropout: deterministic per seed, ~unbiased, grads consistent
+    with the regenerated masks (finite differences, same seed)."""
+    rng = jax.random.PRNGKey(7)
+    spec = MlpSpec(hidden=(64, 32), activation="tanh", dropout=0.0)
+    mlp = init_mlp(rng, 48, spec)
+    x = jax.random.normal(jax.random.PRNGKey(8), (128, 48))
+
+    out_a = mlp_tower(mlp, x, "tanh", None, 0.5, 3.0)
+    out_b = mlp_tower(mlp, x, "tanh", None, 0.5, 3.0)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    out_c = mlp_tower(mlp, x, "tanh", None, 0.5, 4.0)
+    assert np.abs(np.asarray(out_a) - np.asarray(out_c)).max() > 1e-6
+
+    # expectation over seeds approximates the no-dropout forward
+    no_drop = np.asarray(mlp_tower(mlp, x, "tanh"))
+    acc = np.zeros_like(no_drop)
+    n_seeds = 16  # each eval costs a full host-fetch RTT through the tunnel
+    for s in range(n_seeds):
+        acc += np.asarray(mlp_tower(mlp, x, "tanh", None, 0.5, float(s)))
+    mean = acc / n_seeds
+    corr = np.corrcoef(mean, no_drop)[0, 1]
+    assert corr > 0.9, corr
+
+    # gradient check: same seed in f(.) means masks are fixed -> finite
+    # differences through a weight must match the custom-vjp gradient
+    def loss(m):
+        return (mlp_tower(m, x, "tanh", None, 0.5, 11.0) ** 2).sum()
+
+    g = jax.grad(loss)(mlp)
+    w0 = mlp["layers"][0]["w"]
+    eps = 1e-3
+    idx = (3, 5)
+    mp = jax.tree_util.tree_map(lambda a: a, mlp)
+    mp["layers"][0]["w"] = w0.at[idx].add(eps)
+    mm = jax.tree_util.tree_map(lambda a: a, mlp)
+    mm["layers"][0]["w"] = w0.at[idx].add(-eps)
+    fd = (loss(mp) - loss(mm)) / (2 * eps)
+    got = float(g["layers"][0]["w"][idx])
+    np.testing.assert_allclose(got, float(fd), rtol=2e-2, atol=1e-3)

@@ -68,3 +68,34 @@ def test_early_stopping_stops(tiny_schema, tiny_dataset):
         prefetch=False,
     )
     assert len(res.history) <= 4
+
+
+def test_scan_chunked_fit_matches_per_step(tiny_schema, tiny_dataset):
+    """fit(scan_steps=N) must produce the same trajectory as the per-step
+    loop (same shuffles, same math) including the padded final chunk."""
+    ds = tiny_dataset
+    kw = dict(
+        sparse_opt=SparseAdagrad(0.1),
+        dense_opt=optax.sgd(0.05),
+        batch_size=100,   # 3000/100 = 30 batches; scan_steps=7 -> pad path
+        epochs=2,
+        prefetch=False,
+        early_stop_patience=5,
+        seed=4,
+    )
+    res_a = fit(
+        FMModel(k=3), tiny_schema,
+        ds.ids[:3000], ds.labels[:3000], ds.ids[3000:], ds.labels[3000:], **kw
+    )
+    res_b = fit(
+        FMModel(k=3), tiny_schema,
+        ds.ids[:3000], ds.labels[:3000], ds.ids[3000:], ds.labels[3000:],
+        scan_steps=7, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.state.table), np.asarray(res_b.state.table),
+        rtol=1e-4, atol=1e-6,
+    )
+    for ha, hb in zip(res_a.history, res_b.history):
+        np.testing.assert_allclose(ha["auc"], hb["auc"], rtol=1e-6)
+        np.testing.assert_allclose(ha["train_loss"], hb["train_loss"], rtol=1e-4)
