@@ -74,7 +74,7 @@ def _make_kernel(num_layers: int, activation: str, dropout: float = 0.0):
         if has_drop:
             seed_ref = refs[0]
             refs = refs[1:]
-            pltpu.prng_seed(seed_ref[0, 0].astype(jnp.int32) + pl.program_id(0))
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         x_ref = refs[0]
         out_ref = refs[-1]
         h = x_ref[:]
@@ -110,7 +110,8 @@ def _tower_fwd(x_pad, flat_params, activation, interpret, tile, dropout=0.0,
     if dropout > 0.0:
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
-        args.append(jnp.asarray(seed, jnp.float32).reshape(1, 1))
+        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32)
+                    .reshape(1, 1))
     in_specs.append(
         pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
@@ -203,7 +204,7 @@ def _make_bwd_kernel(num_layers: int, activation: str, dropout: float = 0.0):
             seed_ref = refs[0]
             refs = refs[1:]
             # identical seeding to the forward kernel -> identical masks
-            pltpu.prng_seed(seed_ref[0, 0].astype(jnp.int32) + pl.program_id(0))
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         x_ref = refs[0]
         g_ref = refs[1 + 2 * num_layers]
         out_base = 2 + 2 * num_layers
@@ -280,7 +281,8 @@ def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile,
     if dropout > 0.0:
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
-        pre_args.append(jnp.asarray(seed, jnp.float32).reshape(1, 1))
+        pre_args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32)
+                    .reshape(1, 1))
     in_specs.append(
         pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )

@@ -21,13 +21,20 @@ from .models.base import Model
 
 @dataclasses.dataclass
 class Scorer:
-    """Jit-compiled batch scorer for a trained model."""
+    """Jit-compiled batch scorer for a trained model.
+
+    ``quantize`` compresses the embedding table for serving replicas:
+    - ``"bf16"``: 2x smaller, negligible accuracy impact;
+    - ``"int8"``: 4x smaller, row-wise absmax scales, dequantised on gather
+      (the scorer's math stays f32).
+    """
 
     model: Model
     schema: Schema
     table: "np.ndarray"
     dense: dict
     batch_size: int = 8192
+    quantize: str | None = None
 
     def __post_init__(self):
         import jax
@@ -36,19 +43,47 @@ class Scorer:
         pad_id = self.schema.pad_id
         model = self.model
 
-        @jax.jit
-        def fwd(table, dense, ids):
-            rows = jnp.take(table, ids, axis=0)
-            mask = (ids != pad_id).astype(jnp.float32)
-            return model.apply_rows(dense, rows, mask, train=False, rng=None)
+        if self.quantize == "int8":
+            t = jnp.asarray(self.table, jnp.float32)
+            scales = jnp.maximum(jnp.abs(t).max(axis=1, keepdims=True), 1e-12) / 127.0
+            self._table = jnp.clip(jnp.round(t / scales), -127, 127).astype(jnp.int8)
+            self._scales = scales
 
-        self._fwd = fwd
-        self._table = jnp.asarray(self.table)
+            @jax.jit
+            def fwd(table, scales_, dense, ids):
+                rows = (
+                    jnp.take(table, ids, axis=0).astype(jnp.float32)
+                    * jnp.take(scales_, ids, axis=0)
+                )
+                mask = (ids != pad_id).astype(jnp.float32)
+                return model.apply_rows(dense, rows, mask, train=False, rng=None)
+
+            self._fwd_q = fwd
+        else:
+            dtype = jnp.bfloat16 if self.quantize == "bf16" else jnp.float32
+            self._table = jnp.asarray(self.table, dtype)
+            self._scales = None
+
+            @jax.jit
+            def fwd(table, dense, ids):
+                rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
+                mask = (ids != pad_id).astype(jnp.float32)
+                return model.apply_rows(dense, rows, mask, train=False, rng=None)
+
+            self._fwd_plain = fwd
+
+        def dispatch(table, dense, ids):
+            if self.quantize == "int8":
+                return self._fwd_q(table, self._scales, dense, ids)
+            return self._fwd_plain(table, dense, ids)
+
+        self._fwd = dispatch
         self._dense = jax.tree_util.tree_map(jnp.asarray, self.dense)
 
     @staticmethod
     def from_checkpoint(path: str, model: Model, schema: Schema,
-                        batch_size: int = 8192) -> "Scorer":
+                        batch_size: int = 8192,
+                        quantize: str | None = None) -> "Scorer":
         """Load from a train-state checkpoint written by the CLI/loop."""
         import jax
         import optax
@@ -71,7 +106,8 @@ class Scorer:
             )
             state = load_train_state(path, like)
         return Scorer(model=model, schema=schema, table=state.table,
-                      dense=state.dense, batch_size=batch_size)
+                      dense=state.dense, batch_size=batch_size,
+                      quantize=quantize)
 
     # ---- scoring ----------------------------------------------------------
 

@@ -1,0 +1,84 @@
+"""Serving Scorer tests incl. bf16/int8 table quantization."""
+
+import numpy as np
+import optax
+import pytest
+
+from deepctr_tpu.models import FMModel
+from deepctr_tpu.optim import SparseAdagrad
+from deepctr_tpu.serving import Scorer
+from deepctr_tpu.train import fit
+from deepctr_tpu.utils.metrics import exact_auc
+
+
+@pytest.fixture(scope="module")
+def trained(request, tiny_schema_mod, tiny_dataset_mod):
+    ds = tiny_dataset_mod
+    res = fit(
+        FMModel(k=4),
+        tiny_schema_mod,
+        ds.ids[:3000],
+        ds.labels[:3000],
+        ds.ids[3000:],
+        ds.labels[3000:],
+        sparse_opt=SparseAdagrad(0.1),
+        dense_opt=optax.adagrad(0.05),
+        batch_size=256,
+        epochs=4,
+        prefetch=False,
+    )
+    return res.state
+
+
+# module-scoped aliases of the session fixtures
+@pytest.fixture(scope="module")
+def tiny_schema_mod():
+    from deepctr_tpu.data import make_schema
+
+    return make_schema([("a", 4), ("b", 8), ("c", 16), ("tags", 10, 3)])
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset_mod(tiny_schema_mod):
+    from deepctr_tpu.data import synthetic
+
+    return synthetic.generate(tiny_schema_mod, num_examples=4096, k=3,
+                              noise=0.3, seed=1)
+
+
+@pytest.mark.parametrize("quantize", [None, "bf16", "int8"])
+def test_scorer_quantization_accuracy(quantize, trained, tiny_schema_mod,
+                                      tiny_dataset_mod):
+    ds = tiny_dataset_mod
+    scorer = Scorer(
+        model=FMModel(k=4),
+        schema=tiny_schema_mod,
+        table=np.asarray(trained.table),
+        dense={k: np.asarray(v) for k, v in trained.dense.items()},
+        quantize=quantize,
+        batch_size=512,
+    )
+    probs = scorer.predict(ds.ids[3000:])
+    auc = exact_auc(ds.labels[3000:], probs)
+    assert auc > 0.6
+    if quantize is not None:
+        f32 = Scorer(
+            model=FMModel(k=4),
+            schema=tiny_schema_mod,
+            table=np.asarray(trained.table),
+            dense={k: np.asarray(v) for k, v in trained.dense.items()},
+            batch_size=512,
+        )
+        auc_f32 = exact_auc(ds.labels[3000:], f32.predict(ds.ids[3000:]))
+        assert abs(auc - auc_f32) < 0.01, (quantize, auc, auc_f32)
+
+
+def test_int8_table_memory(trained, tiny_schema_mod):
+    s = Scorer(
+        model=FMModel(k=4),
+        schema=tiny_schema_mod,
+        table=np.asarray(trained.table),
+        dense={k: np.asarray(v) for k, v in trained.dense.items()},
+        quantize="int8",
+    )
+    assert s._table.dtype == np.int8
