@@ -94,6 +94,15 @@ def parse_criteo_lines(
     return labels[:r], ids[:r]
 
 
-def parse_criteo_file(path: str, schema: Schema) -> tuple[np.ndarray, np.ndarray]:
+def parse_criteo_file(
+    path: str, schema: Schema, use_native: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    if use_native:
+        try:
+            from . import native
+
+            return native.parse_criteo_file(path, schema)
+        except Exception:
+            pass
     with open(path, "rb") as f:
         return parse_criteo_lines(f.read().splitlines(), schema)

@@ -64,6 +64,15 @@ def _lib() -> ctypes.CDLL:
                     np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                     ctypes.c_int64,
                 ]
+                lib.criteo_parse.restype = ctypes.c_int64
+                lib.criteo_parse.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+                    ctypes.c_int32, ctypes.c_int64,
+                    np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                    np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                    ctypes.c_int64,
+                ]
                 _LIB = lib
     return _LIB
 
@@ -106,3 +115,27 @@ def parse_yx_lines(lines, schema) -> tuple[np.ndarray, np.ndarray]:
 def parse_yx_file(path: str, schema) -> tuple[np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         return parse_yx_bytes(f.read(), schema)
+
+
+def parse_criteo_bytes(data: bytes, schema) -> tuple[np.ndarray, np.ndarray]:
+    """Native Criteo TSV parse -> (labels float32[B], ids int32[B, 39])."""
+    from ..criteo import NUM_CAT, NUM_INT, _INT_BUCKETS
+
+    lib = _lib()
+    n = lib.yx_count_rows(data, len(data))  # rows = non-blank lines, same rule
+    offsets = schema.offsets.astype(np.int64)
+    cat_buckets = schema.fields[NUM_INT].vocab_size
+    labels = np.empty(n, dtype=np.float32)
+    ids = np.empty((n, NUM_INT + NUM_CAT), dtype=np.int32)
+    wrote = lib.criteo_parse(
+        data, len(data), offsets, _INT_BUCKETS, cat_buckets,
+        labels, ids.reshape(-1), n,
+    )
+    if wrote < 0:
+        raise RuntimeError(f"criteo_parse failed with code {wrote}")
+    return labels[:wrote], ids[:wrote]
+
+
+def parse_criteo_file(path: str, schema) -> tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        return parse_criteo_bytes(f.read(), schema)

@@ -129,3 +129,119 @@ int64_t yx_parse(const char* buf, int64_t len, const int64_t* field_bounds,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Criteo raw TSV: label \t I1..I13 \t C1..C26 (blanks allowed).
+// Must match deepctr_tpu/data/criteo.py exactly: integer features get
+// floor(log(x+1)^2)+3 buckets (0=missing, 1=malformed, 2=negative),
+// categoricals get FNV-1a 64 % cat_buckets, missing -> bucket 0.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+
+namespace {
+
+constexpr int kNumInt = 13;
+constexpr int kNumCat = 26;
+constexpr uint64_t kFnvOffset = 0xCBF29CE484222325ULL;
+constexpr uint64_t kFnvPrime = 0x100000001B3ULL;
+
+inline uint64_t fnv1a64(const char* p, int64_t len) {
+  uint64_t h = kFnvOffset;
+  for (int64_t i = 0; i < len; ++i) {
+    h ^= static_cast<unsigned char>(p[i]);
+    h *= kFnvPrime;
+  }
+  return h;
+}
+
+inline int32_t int_bucket(const char* p, int64_t len, int32_t max_buckets) {
+  if (len == 0) return 0;
+  bool neg = false;
+  int64_t i = 0;
+  if (p[0] == '-') { neg = true; i = 1; }
+  long long v = 0;
+  for (; i < len; ++i) {
+    if (p[i] < '0' || p[i] > '9') return 1;  // malformed
+    v = v * 10 + (p[i] - '0');
+    if (v > (1LL << 40)) break;  // clamp; bucket saturates anyway
+  }
+  if (neg) return 2;
+  double lg = std::log(static_cast<double>(v) + 1.0);
+  int32_t b = static_cast<int32_t>(std::floor(lg * lg)) + 3;
+  return b < max_buckets ? b : max_buckets - 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse Criteo TSV into packed per-field global ids.
+//   offsets: int64[39] global id offset per field (13 int + 26 cat).
+//   int_buckets / cat_buckets: per-column vocab sizes.
+// Returns rows written, or -1 on overflow of max_rows.
+int64_t criteo_parse(const char* buf, int64_t len, const int64_t* offsets,
+                     int32_t int_buckets, int64_t cat_buckets,
+                     float* labels_out, int32_t* ids_out, int64_t max_rows) {
+  int64_t row = 0;
+  const char* p = buf;
+  const char* end = buf + len;
+  const int32_t num_fields = kNumInt + kNumCat;
+
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = nl ? nl : end;
+    // tolerate \r\n
+    const char* le = line_end;
+    if (le > p && le[-1] == '\r') --le;
+    if (le == p) {  // blank line
+      p = nl ? nl + 1 : end;
+      continue;
+    }
+    if (row >= max_rows) return -1;
+    int32_t* ids_row = ids_out + row * num_fields;
+
+    // split on tabs
+    const char* field = p;
+    int col = 0;
+    for (const char* q = p; q <= le && col <= num_fields; ++q) {
+      if (q == le || *q == '\t') {
+        int64_t flen = q - field;
+        if (col == 0) {
+          // labels are 0/1 in Criteo; digit-scan like the yx parser
+          float lab = 0.0f;
+          for (int64_t i = 0; i < flen; ++i) {
+            if (field[i] < '0' || field[i] > '9') break;
+            lab = lab * 10.0f + (field[i] - '0');
+          }
+          labels_out[row] = lab;
+        } else if (col <= kNumInt) {
+          ids_row[col - 1] = static_cast<int32_t>(
+              offsets[col - 1] + int_bucket(field, flen, int_buckets));
+        } else {
+          int f = col - 1;
+          int64_t local = flen > 0
+              ? static_cast<int64_t>(fnv1a64(field, flen) % cat_buckets)
+              : 0;
+          ids_row[f] = static_cast<int32_t>(offsets[f] + local);
+        }
+        ++col;
+        field = q + 1;
+      }
+    }
+    // unfilled trailing columns -> missing buckets
+    for (; col <= num_fields; ++col) {
+      int f = col - 1;
+      if (f < kNumInt) {
+        ids_row[f] = static_cast<int32_t>(offsets[f] + 0);
+      } else if (f < num_fields) {
+        ids_row[f] = static_cast<int32_t>(offsets[f] + 0);
+      }
+    }
+    ++row;
+    p = nl ? nl + 1 : end;
+  }
+  return row;
+}
+
+}  // extern "C"

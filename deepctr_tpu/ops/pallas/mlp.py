@@ -72,9 +72,9 @@ def _make_kernel(num_layers: int, activation: str, dropout: float = 0.0):
 
     def kernel(*refs):
         if has_drop:
-            seed_ref = refs[0]
+            seed_ref = refs[0]  # scalar-prefetch: int32[1]
             refs = refs[1:]
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         x_ref = refs[0]
         out_ref = refs[-1]
         h = x_ref[:]
@@ -105,44 +105,55 @@ def _tower_fwd(x_pad, flat_params, activation, interpret, tile, dropout=0.0,
     B, P0 = x_pad.shape
     num_layers = len(flat_params) // 2
     grid = (B // tile,)
-    in_specs = []
-    args = []
+    # with scalar prefetch, index maps receive the scalar ref as a leading
+    # argument — select the right arity up front
     if dropout > 0.0:
-        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                     memory_space=pltpu.SMEM))
-        args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32)
-                    .reshape(1, 1))
-    in_specs.append(
-        pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    )
-    args.append(x_pad)
+        tile_map = lambda i, s_: (i, 0)      # noqa: E731
+        const_map = lambda i, s_: (0, 0)     # noqa: E731
+    else:
+        tile_map = lambda i: (i, 0)          # noqa: E731
+        const_map = lambda i: (0, 0)         # noqa: E731
+    in_specs = [
+        pl.BlockSpec((tile, P0), tile_map, memory_space=pltpu.VMEM)
+    ]
+    args = [x_pad]
     for j, p in enumerate(flat_params):
         in_specs.append(
-            pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(p.shape, const_map, memory_space=pltpu.VMEM)
         )
         args.append(p)
     out_dim = flat_params[-1].shape[-1]
+    out_spec = pl.BlockSpec((tile, out_dim), tile_map,
+                            memory_space=pltpu.VMEM)
     flops = 0
     d_prev = P0
     for j in range(num_layers):
         d_next = flat_params[2 * j].shape[1]
         flops += 2 * B * d_prev * d_next
         d_prev = d_next
+    if dropout > 0.0:
+        # seed rides as a scalar-prefetch argument (the supported way to
+        # feed per-call scalars into a gridded TPU kernel; a (1,1) SMEM
+        # block silently read a stale value here)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_spec,
+        )
+        seed_arg = (jnp.asarray(seed, jnp.float32).astype(jnp.int32)
+                    .reshape(1),)
+    else:
+        grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs,
+                                out_specs=out_spec)
+        seed_arg = ()
     out = pl.pallas_call(
         _make_kernel(num_layers, activation, dropout),
         out_shape=jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (tile, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ),
+        grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=4 * (B * P0 + B * out_dim), transcendentals=0
         ),
         interpret=interpret,
-    )(*args)
+    )(*seed_arg, *args)
     return out
 
 
@@ -201,10 +212,10 @@ def _make_bwd_kernel(num_layers: int, activation: str, dropout: float = 0.0):
     def kernel(*refs):
         # refs: [seed?], x, (W, b) * L, g, -> gx, (gW, gb) * L
         if has_drop:
-            seed_ref = refs[0]
+            seed_ref = refs[0]  # scalar-prefetch: int32[1]
             refs = refs[1:]
             # identical seeding to the forward kernel -> identical masks
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         x_ref = refs[0]
         g_ref = refs[1 + 2 * num_layers]
         out_base = 2 + 2 * num_layers
@@ -300,11 +311,18 @@ def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile,
         out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM))
+    if dropout > 0.0:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        )
+    else:
+        grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs,
+                                out_specs=tuple(out_specs))
     outs = pl.pallas_call(
         _make_bwd_kernel(num_layers, activation, dropout),
         out_shape=tuple(out_shapes),
-        grid_spec=pl.GridSpec(grid=grid, in_specs=in_specs,
-                              out_specs=tuple(out_specs)),
+        grid_spec=grid_spec,
         interpret=interpret,
     )(*pre_args, x_pad, *flat_params, g2d)
     return outs

@@ -216,3 +216,42 @@ def test_device_prefetcher_propagates_errors(tiny_schema):
     with pytest.raises(RuntimeError, match="boom"):
         while True:
             next(it)
+
+
+def test_criteo_native_matches_python(tmp_path):
+    from deepctr_tpu.data import native
+    from deepctr_tpu.data.criteo import criteo_schema, parse_criteo_lines
+
+    if not native.available():
+        pytest.skip("no g++ toolchain")
+    schema = criteo_schema(cat_buckets=997)
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(500):
+        y = rng.integers(0, 2)
+        ints = []
+        for _ in range(13):
+            r = rng.random()
+            if r < 0.2:
+                ints.append(b"")                  # missing
+            elif r < 0.25:
+                ints.append(b"-5")                # negative
+            elif r < 0.3:
+                ints.append(b"xy")                # malformed
+            else:
+                ints.append(str(rng.integers(0, 10**6)).encode())
+        cats = []
+        for _ in range(26):
+            if rng.random() < 0.15:
+                cats.append(b"")
+            else:
+                cats.append(f"{rng.integers(0, 2**32):08x}".encode())
+        lines.append(str(y).encode() + b"\t" + b"\t".join(ints + cats))
+    # short line (missing trailing columns)
+    lines.append(b"1\t7\t3")
+    data = b"\n".join(lines) + b"\n"
+
+    l_py, i_py = parse_criteo_lines(lines, schema)
+    l_na, i_na = native.parse_criteo_bytes(data, schema)
+    np.testing.assert_array_equal(l_na, l_py)
+    np.testing.assert_array_equal(i_na, i_py)
