@@ -61,6 +61,13 @@ def _dropout_mask(shape, keep_prob: float) -> jax.Array:
 
     Draw order is deterministic given the seed, so the backward kernel
     regenerates identical masks by re-seeding identically.
+
+    KNOWN ISSUE (see tests/test_pallas.py xfail): on the current Mosaic
+    toolchain the seed is ignored inside the multi-layer tower kernel
+    (identical masks across seeds) even though minimal kernels with the
+    same scalar-prefetch seeding honour it.  The models therefore route
+    dropout through the jnp path until this is resolved; the kernel remains
+    correct in interpreter-mode semantics.
     """
     bits = pltpu.prng_random_bits(shape)  # uint32
     threshold = jnp.uint32(int(keep_prob * 0xFFFFFFFF))
