@@ -13,6 +13,7 @@ from .sharded import (
     ShardedTrainState,
     init_sharded_state,
     make_sharded_eval_step,
+    make_sharded_scan_train_step,
     make_sharded_train_step,
     pack_table,
     shard_rows,
@@ -30,6 +31,7 @@ __all__ = [
     "ShardedTrainState",
     "init_sharded_state",
     "make_sharded_eval_step",
+    "make_sharded_scan_train_step",
     "make_sharded_train_step",
     "pack_table",
     "shard_rows",

@@ -295,6 +295,44 @@ def make_sharded_train_step(
     return step
 
 
+def make_sharded_scan_train_step(
+    model: Model,
+    schema: Schema,
+    sparse_opt,
+    dense_opt,
+    mesh: Mesh,
+    l2: float = 0.0,
+    capacity_factor: float = 2.0,
+):
+    """T sharded train steps in one ``lax.scan`` dispatch.
+
+    ``scan_step(state, ids [T,B,S], labels [T,B], weights [T,B])`` ->
+    ``(state, (losses [T], dropped [T]))`` — same dispatch-amortisation
+    rationale as train.step.make_scan_train_step, for the sharded path.
+    """
+    inner_builder = make_sharded_train_step(
+        model, schema, sparse_opt, dense_opt, mesh,
+        l2=l2, capacity_factor=capacity_factor,
+    )
+
+    _cache: dict = {}
+
+    def scan_step(state: ShardedTrainState, ids, labels, weights):
+        key = jax.tree_util.tree_structure(state)
+        if key not in _cache:
+            def jitted(state_, ids_, labels_, weights_):
+                def body(st, batch):
+                    st2, (loss, dropped) = inner_builder(st, *batch)
+                    return st2, (loss, dropped)
+
+                return jax.lax.scan(body, state_, (ids_, labels_, weights_))
+
+            _cache[key] = jax.jit(jitted, donate_argnums=(0,))
+        return _cache[key](state, ids, labels, weights)
+
+    return scan_step
+
+
 def make_sharded_eval_step(model: Model, schema: Schema, mesh: Mesh,
                            capacity_factor: float = 2.0):
     """Sharded forward pass: ``(table_stored, dense, ids) -> logits``."""

@@ -155,3 +155,41 @@ def test_overflow_policy_counts_drops(mesh, tiny_schema):
     sst, (loss, dropped) = step(sst, ids_d, y_d, w_d)
     assert int(dropped) > 0
     assert np.isfinite(float(loss))
+
+
+def test_sharded_scan_step_matches_loop(mesh, tiny_schema, tiny_dataset):
+    from deepctr_tpu.parallel import make_sharded_scan_train_step
+
+    model = FMModel(k=3)
+    sopt, dopt = SparseAdagrad(0.1), optax.sgd(0.05)
+    ds = tiny_dataset
+    T, B = 3, 64
+    ids = ds.ids[: T * B].reshape(T, B, -1)
+    y = ds.labels[: T * B].reshape(T, B)
+    w = np.ones((T, B), np.float32)
+
+    st1 = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=6)
+    loop = make_sharded_train_step(model, tiny_schema, sopt, dopt, mesh,
+                                   capacity_factor=8.0)
+    losses1 = []
+    for t in range(T):
+        a, b_, c = shard_batch_arrays(mesh, ids[t], y[t], w[t])
+        st1, (loss, _) = loop(st1, a, b_, c)
+        losses1.append(float(loss))
+
+    st2 = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=6)
+    scan = make_sharded_scan_train_step(model, tiny_schema, sopt, dopt, mesh,
+                                        capacity_factor=8.0)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax as _jax
+
+    shd = NamedSharding(mesh, P(None, "data"))
+    ids_d = _jax.device_put(ids, shd)
+    y_d = _jax.device_put(y, shd)
+    w_d = _jax.device_put(w, shd)
+    st2, (losses2, dropped) = scan(st2, ids_d, y_d, w_d)
+    np.testing.assert_allclose(losses1, np.asarray(losses2), rtol=1e-4, atol=1e-6)
+    assert int(np.asarray(dropped).sum()) == 0
+    np.testing.assert_allclose(
+        np.asarray(st1.table), np.asarray(st2.table), rtol=1e-4, atol=1e-6
+    )
