@@ -154,14 +154,16 @@ def _parse_value(text: str, current: Any) -> Any:
     if isinstance(current, (list, tuple)):
         return tuple(int(x) if x.strip().isdigit() else x.strip()
                      for x in text.strip("()[]").split(",") if x.strip())
-    if current is None:
-        # try json-ish literals, else string
+    if current is None or isinstance(current, str):
+        # optional fields: "none"/"null" reset to None even after having
+        # been set to a string; otherwise try numeric literals, else string
         if text.lower() in ("none", "null"):
             return None
-        for cast in (int, float):
-            try:
-                return cast(text)
-            except ValueError:
-                pass
+        if current is None:
+            for cast in (int, float):
+                try:
+                    return cast(text)
+                except ValueError:
+                    pass
         return text
     return text

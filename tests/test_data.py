@@ -255,3 +255,19 @@ def test_criteo_native_matches_python(tmp_path):
     l_na, i_na = native.parse_criteo_bytes(data, schema)
     np.testing.assert_array_equal(l_na, l_py)
     np.testing.assert_array_equal(i_na, i_py)
+
+
+def test_epoch_iterator(tiny_schema, tiny_dataset):
+    from deepctr_tpu.data import epoch_iterator
+
+    it = epoch_iterator(
+        tiny_dataset.ids[:512], tiny_dataset.labels[:512], 128,
+        schema=tiny_schema, num_epochs=2, seed=1,
+    )
+    seen = list(it)
+    assert len(seen) == 8  # 4 batches x 2 epochs
+    assert {e for e, _ in seen} == {0, 1}
+    # different epochs shuffle differently
+    b0 = seen[0][1].ids
+    b4 = seen[4][1].ids
+    assert not np.array_equal(b0, b4)

@@ -175,17 +175,77 @@ def bench_parser(results):
     )
 
 
+def bench_full_schema(results):
+    """Headline model at full-iPinYou vocabulary (~0.94M features)."""
+    import jax.numpy as jnp
+    import optax
+
+    from deepctr_tpu.data import ipinyou_full_schema, synthetic
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.train import init_state
+    from deepctr_tpu.train.step import make_scan_train_step
+
+    schema = ipinyou_full_schema()
+    B, T = 8192, 8
+    ds = synthetic.generate(schema, num_examples=B * 2 * T, k=2, seed=5)
+    model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5))
+    sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
+    holder = {"state": init_state(model, schema, sopt, dopt, seed=0)}
+    scan_step = make_scan_train_step(model, schema, sopt, dopt)
+
+    def run(c):
+        sel = slice(0, c * B)
+        batch = (
+            jnp.asarray(ds.ids[sel]).reshape(c, B, -1),
+            jnp.asarray(ds.labels[sel]).reshape(c, B),
+            jnp.ones((c, B), jnp.float32),
+        )
+        float(batch[0].sum())
+        t0 = time.perf_counter()
+        st, losses = scan_step(holder["state"], *batch)
+        np.asarray(losses)
+        holder["state"] = st
+        return time.perf_counter() - t0
+
+    per_step = _marginal(run, T, 2 * T)
+    results["train_examples_per_s/fnn_full_vocab"] = B / per_step
+    print(f"fnn@full-vocab: {per_step*1e3:.2f} ms/step -> {B/per_step:,.0f} ex/s")
+
+
 def main():
+    import argparse
+
     import jax
 
-    results = {}
-    backend = jax.default_backend()
-    bench_parser(results)
-    bench_models(results)
-    bench_lookup(results)
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sections", default="parser,models,full,lookup",
+        help="comma list: parser,models,full,lookup (run big sections in "
+        "separate invocations; results accumulate in BENCH.json)",
+    )
+    args = ap.parse_args()
+    sections = set(args.sections.split(","))
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "BENCH.md")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    acc_path = os.path.join(root, "BENCH.json")
+    results = {}
+    if os.path.exists(acc_path):
+        with open(acc_path) as f:
+            results = json.load(f)
+    backend = jax.default_backend()
+    if "parser" in sections:
+        bench_parser(results)
+    if "models" in sections:
+        bench_models(results)
+    if "full" in sections:
+        bench_full_schema(results)
+    if "lookup" in sections:
+        bench_lookup(results)
+    with open(acc_path, "w") as f:
+        json.dump(results, f, indent=2)
+
+    out = os.path.join(root, "BENCH.md")
     with open(out, "w") as f:
         f.write("# BENCH — measured performance (deepctr_tpu)\n\n")
         f.write(f"Backend: `{backend}` ({jax.devices()[0]}). ")
