@@ -94,7 +94,11 @@ def main():
     # one jitted lax.scan over all measured steps: wall time == device time,
     # immune to async-dispatch queueing artifacts (a naive per-step host
     # loop through the remote runtime UNDER-reports by >10x)
-    scan_step = make_scan_train_step(model, schema, sopt, dopt)
+    from deepctr_tpu.ops.split_embed import make_split_plan
+
+    scan_step = make_scan_train_step(
+        model, schema, sopt, dopt, split=make_split_plan(schema)
+    )
 
     def stack(start, count):
         sel = slice(start * BATCH, (start + count) * BATCH)

@@ -221,6 +221,7 @@ def run(cfg) -> dict:
             early_stop_patience=cfg.train.early_stop_patience,
             lr_decay=cfg.train.lr_decay,
             scan_steps=cfg.train.scan_steps,
+            split_threshold=cfg.train.split_threshold,
             state=state,
             logger=logger,
             prefetch=cfg.train.prefetch,

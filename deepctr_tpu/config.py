@@ -59,6 +59,10 @@ class TrainConfig:
     lr_decay: float = 1.0     # per-epoch multiplicative LR decay
     scan_steps: int = 8       # minibatch steps fused per dispatch (0 = off)
     prefetch: bool = True
+    # small fields (vocab <= threshold) run as one-hot MXU matmuls with dense
+    # per-field gradients instead of gather/scatter rows (ops/split_embed.py);
+    # 0 disables the split path entirely
+    split_threshold: int = 8192
     # SNN pretraining phase
     pretrain: str | None = None        # dae | rbm | None
     pretrain_epochs: int = 1

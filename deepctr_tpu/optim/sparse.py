@@ -23,6 +23,15 @@ Two execution strategies, chosen per table size (``mode="auto"``):
 Plain SGD needs no dedup at all (scatter-add is associative), so it is a
 single sorted scatter-add in either mode.
 
+Both optimizers additionally accept ``patches`` — a list of
+``(row_offset, G_f)`` pairs carrying already-deduplicated **dense**
+per-field gradients for contiguous table ranges.  These come from the
+split-embedding path (ops/split_embed.py), where small-vocabulary fields
+compute their gradient as a one-hot matmul instead of contributing scatter
+rows; each patch is applied as a static-slice elementwise update (pure
+bandwidth, no scatter).  Patch ranges and occurrence ids never overlap (a
+field is in exactly one class), so ordering is immaterial.
+
 The padding row stays frozen as long as its occurrence gradients are zero —
 guaranteed by the models masking pad slots in the forward pass.
 """
@@ -74,10 +83,17 @@ class SparseSgd:
         ids: jax.Array,
         rows: jax.Array,
         lr_scale: jax.Array | float = 1.0,
+        patches=(),
     ) -> tuple[jax.Array, SparseSgdState]:
         lr = self.learning_rate * lr_scale
         # scatter-add sums duplicates natively; no dedup pass needed
         new_table = table.at[ids].add(-lr * rows)
+        for off, g in patches:
+            d = table.shape[1]
+            cur = jax.lax.dynamic_slice(new_table, (off, 0), (g.shape[0], d))
+            new_table = jax.lax.dynamic_update_slice(
+                new_table, cur - lr * g, (off, 0)
+            )
         return new_table, state
 
 
@@ -106,20 +122,31 @@ class SparseAdagrad:
         ids: jax.Array,
         rows: jax.Array,
         lr_scale: jax.Array | float = 1.0,
+        patches=(),
     ) -> tuple[jax.Array, SparseAdagradState]:
         lr = self.learning_rate * lr_scale
         if _pick_dense(self.mode, table):
             g = jnp.zeros_like(table).at[ids].add(rows)
             acc = state.acc + g * g
             new_table = table - lr * g / (jnp.sqrt(acc) + self.eps)
-            return new_table, SparseAdagradState(acc=acc)
-
-        d = dedupe_grads(ids, rows)
-        g2 = d.rows * d.rows
-        acc = state.acc.at[d.ids].add(g2, indices_are_sorted=True)
-        denom = jnp.sqrt(acc[d.ids]) + self.eps
-        delta = -lr * d.rows / denom
-        new_table = table.at[d.ids].add(delta, indices_are_sorted=True)
+        else:
+            d = dedupe_grads(ids, rows)
+            g2 = d.rows * d.rows
+            acc = state.acc.at[d.ids].add(g2, indices_are_sorted=True)
+            denom = jnp.sqrt(acc[d.ids]) + self.eps
+            delta = -lr * d.rows / denom
+            new_table = table.at[d.ids].add(delta, indices_are_sorted=True)
+        # dense per-field patches: slice-wise elementwise updates.  Patch rows
+        # receive no occurrence gradient above (disjoint id ranges), so acc and
+        # table are untouched there before the patch applies.
+        ddim = table.shape[1]
+        for off, gf in patches:
+            vf = gf.shape[0]
+            acc_f = jax.lax.dynamic_slice(acc, (off, 0), (vf, ddim)) + gf * gf
+            tab_f = jax.lax.dynamic_slice(new_table, (off, 0), (vf, ddim))
+            tab_f = tab_f - lr * gf / (jnp.sqrt(acc_f) + self.eps)
+            acc = jax.lax.dynamic_update_slice(acc, acc_f, (off, 0))
+            new_table = jax.lax.dynamic_update_slice(new_table, tab_f, (off, 0))
         return new_table, SparseAdagradState(acc=acc)
 
 

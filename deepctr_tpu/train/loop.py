@@ -74,6 +74,7 @@ def fit(
     early_stop_patience: int = 2,
     lr_decay: float = 1.0,
     scan_steps: int = 0,
+    split_threshold: int = 8192,
     state: TrainState | None = None,
     logger: MetricsLogger | None = None,
     prefetch: bool = True,
@@ -89,15 +90,19 @@ def fit(
     dispatch cost amortises to ~zero (essential through remote runtimes
     where each dispatch costs milliseconds; see ARCHITECTURE.md §6).
     """
+    from ..ops.split_embed import make_split_plan
     from .step import make_scan_train_step
 
-    step = make_train_step(model, schema, sparse_opt, dense_opt, l2=l2)
+    split = make_split_plan(schema, split_threshold) if split_threshold > 0 else None
+    step = make_train_step(model, schema, sparse_opt, dense_opt, l2=l2, split=split)
     scan_step = (
-        make_scan_train_step(model, schema, sparse_opt, dense_opt, l2=l2)
+        make_scan_train_step(
+            model, schema, sparse_opt, dense_opt, l2=l2, split=split
+        )
         if scan_steps > 1
         else None
     )
-    eval_step = make_eval_step(model, schema)
+    eval_step = make_eval_step(model, schema, split=split)
     if state is None:
         state = init_state(model, schema, sparse_opt, dense_opt, seed=seed)
 

@@ -62,10 +62,13 @@ def bench_models(results):
         "fnn": make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5)),
         "deepfm": make_deepfm(schema, k=10),
     }
+    from deepctr_tpu.ops.split_embed import make_split_plan
+
+    split = make_split_plan(schema)
     for name, model in models.items():
         sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
         state = init_state(model, schema, sopt, dopt, seed=0)
-        scan_step = make_scan_train_step(model, schema, sopt, dopt)
+        scan_step = make_scan_train_step(model, schema, sopt, dopt, split=split)
         holder = {"state": state}
 
         def run(c):
@@ -191,8 +194,12 @@ def bench_full_schema(results):
     ds = synthetic.generate(schema, num_examples=B * 2 * T, k=2, seed=5)
     model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5))
     sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
+    from deepctr_tpu.ops.split_embed import make_split_plan
+
     holder = {"state": init_state(model, schema, sopt, dopt, seed=0)}
-    scan_step = make_scan_train_step(model, schema, sopt, dopt)
+    scan_step = make_scan_train_step(
+        model, schema, sopt, dopt, split=make_split_plan(schema)
+    )
 
     def run(c):
         sel = slice(0, c * B)
