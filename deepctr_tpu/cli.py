@@ -259,6 +259,13 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
     )
     from .utils import metrics as M
 
+    from .ops.split_embed import make_split_plan
+
+    split = (
+        make_split_plan(schema, cfg.train.split_threshold)
+        if cfg.train.split_threshold > 0
+        else None
+    )
     mesh = make_data_mesh(cfg.train.num_devices)
     state = init_sharded_state(
         model, schema, sparse_opt, dense_opt, mesh, seed=cfg.train.seed
@@ -266,9 +273,11 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
     step = make_sharded_train_step(
         model, schema, sparse_opt, dense_opt, mesh,
         l2=cfg.optim.l2, capacity_factor=cfg.train.capacity_factor,
+        split=split,
     )
     eval_step = make_sharded_eval_step(
-        model, schema, mesh, capacity_factor=cfg.train.capacity_factor
+        model, schema, mesh, capacity_factor=cfg.train.capacity_factor,
+        split=split,
     )
     history = []
     best_auc, best_epoch, since = -np.inf, -1, 0

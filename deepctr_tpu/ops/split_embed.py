@@ -129,6 +129,7 @@ def assemble_rows(
     big_rows: jax.Array,
     ids: jax.Array,
     plan: SplitPlan,
+    small_id_vectors: list[jax.Array] | None = None,
 ) -> jax.Array:
     """Assemble [B, S, D] embedding rows in packed slot order.
 
@@ -136,14 +137,24 @@ def assemble_rows(
     give a zero one-hot row -> zero embedding, matching the frozen pad row).
     Differentiable w.r.t. ``small_tables`` (dense [vocab, D] cotangents) and
     ``big_rows`` (per-occurrence cotangents).
+
+    ``small_id_vectors`` (optional) gives, per small field, the local feature
+    id stored at each row of that field's (possibly permuted / padded)
+    subtable — the one-hot compares against it instead of ``arange(vocab)``.
+    Used by the sharded path, where subtables are all-gathered shard slices
+    in shard-major order; out-of-field rows carry an id outside [0, vocab)
+    and so never match.
     """
     parts = []
-    for f, sub in zip(plan.small, small_tables):
+    for i, (f, sub) in enumerate(zip(plan.small, small_tables)):
         sl = ids[:, f.slot_start : f.slot_start + f.slot_len]
         local = sl - f.offset  # [B, L]
-        oh = (local[..., None] == jnp.arange(f.vocab)[None, None, :]).astype(
-            sub.dtype
-        )  # [B, L, vocab]
+        id_vec = (
+            jnp.arange(f.vocab)
+            if small_id_vectors is None
+            else small_id_vectors[i]
+        )
+        oh = (local[..., None] == id_vec[None, None, :]).astype(sub.dtype)
         parts.append(
             jnp.einsum(
                 "blv,vd->bld", oh, sub, precision=jax.lax.Precision.HIGHEST

@@ -41,6 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.schema import Schema
 from ..models.base import Model
+from ..ops.split_embed import SplitPlan, assemble_rows
 from .mesh import DATA_AXIS
 
 
@@ -130,6 +131,82 @@ def _exchange_scatter_grads(g_occ: jax.Array, b: _Buckets, cap: int) -> jax.Arra
 
 
 # ---------------------------------------------------------------------------
+# Split-embedding support: small fields as all-gathered replicated subtables
+# ---------------------------------------------------------------------------
+#
+# With a SplitPlan (ops/split_embed.py), only BIG fields ride the all-to-all
+# exchange.  Small fields' rows — a few hundred KB in total — are all-gathered
+# from their resident shards each step and consumed as replicated one-hot
+# matmul operands; their gradients are dense per-field [rows, D] tensors,
+# psum'd over the data axis (exactly like the dense tower) and applied by
+# each shard to its own resident slice.  This removes ~5/6 of the exchange
+# volume at iPinYou shape and keeps optimizer state fully shard-local.
+#
+# Layout fact the slicing relies on: shard o owns global ids {g : g % n == o}
+# at local index g // n, so a field's ids form an arithmetic progression with
+# step n whose local indices are CONTIGUOUS — one dynamic_slice per field.
+
+
+def _small_field_geometry(plan: SplitPlan, n: int, r_plus_1: int):
+    """Static per-field slice geometry: [(cnt, off)] with cnt rows/shard."""
+    geo = []
+    for f in plan.small:
+        cnt = min(_cdiv(f.vocab, n), r_plus_1)
+        geo.append((cnt, f.offset, f.vocab))
+    return geo
+
+
+def _gather_small_tables(table_shard: jax.Array, plan: SplitPlan, n: int):
+    """All-gather each small field's resident rows.
+
+    Returns (subtables, id_vectors): per field, a replicated
+    ``[n*cnt, D]`` shard-major subtable and the (traced) field-local id
+    stored at each of its rows; rows holding out-of-field ids get an id
+    outside [0, vocab) and therefore never match in the one-hot compare.
+    """
+    r_plus_1 = table_shard.shape[0]
+    d = table_shard.shape[-1]
+    me = jax.lax.axis_index(DATA_AXIS)
+    owners = jnp.arange(n)
+    subs, id_vecs = [], []
+    for cnt, off, vocab in _small_field_geometry(plan, n, r_plus_1):
+        # first local row holding an id >= off, per owner:
+        # q0 = ceil((off - owner) / n), exact in integer math
+        q0 = -((owners - off) // n)
+        start_vec = jnp.clip(q0, 0, r_plus_1 - cnt)
+        sl = jax.lax.dynamic_slice(
+            table_shard, (start_vec[me], jnp.int32(0)), (cnt, d)
+        )
+        gathered = jax.lax.all_gather(sl, DATA_AXIS, axis=0, tiled=False)
+        j = jnp.arange(cnt)
+        local_ids = (start_vec[:, None] + j[None, :]) * n + owners[:, None] - off
+        subs.append(gathered.reshape(n * cnt, d))
+        id_vecs.append(local_ids.reshape(-1))
+    return subs, id_vecs
+
+
+def _small_grad_patches(g_small: list, plan: SplitPlan, n: int, r_plus_1: int):
+    """psum per-field dense grads and slice out this shard's patch.
+
+    Returns [(local_row_offset, [cnt, D] grad)] for the sparse optimizer.
+    Rows inside a patch that hold out-of-field ids receive an exactly-zero
+    gradient (their one-hot column never matched), so overlapping patch
+    ranges between adjacent fields are no-ops on each other's rows.
+    """
+    me = jax.lax.axis_index(DATA_AXIS)
+    owners = jnp.arange(n)
+    patches = []
+    for (cnt, off, _vocab), g in zip(
+        _small_field_geometry(plan, n, r_plus_1), g_small
+    ):
+        g = jax.lax.psum(g, DATA_AXIS)  # replicated operand, DP batches
+        q0 = -((owners - off) // n)
+        start_vec = jnp.clip(q0, 0, r_plus_1 - cnt)
+        patches.append((start_vec[me], g.reshape(n, cnt, -1)[me]))
+    return patches
+
+
+# ---------------------------------------------------------------------------
 # Sharded train/eval steps
 # ---------------------------------------------------------------------------
 
@@ -197,6 +274,7 @@ def make_sharded_train_step(
     l2: float = 0.0,
     capacity_factor: float = 2.0,
     template_state: ShardedTrainState | None = None,
+    split: SplitPlan | None = None,
 ):
     """Build the fully-sharded jitted train step.
 
@@ -204,45 +282,88 @@ def make_sharded_train_step(
     psum gradient sync (BASELINE.json:5).  Returns
     ``step(state, ids, labels, weights) -> (state, (loss, dropped))`` where
     ``dropped`` counts capacity-overflow occurrences (zero in healthy runs).
+
+    With ``split`` (ops/split_embed.py), small fields bypass the all-to-all:
+    their rows are all-gathered as replicated subtables (a few hundred KB)
+    and their dense per-field gradients are psum'd and applied shard-locally.
     """
     n = int(np.prod(list(mesh.shape.values())))
     pad_id = schema.pad_id
     Vp = schema.padded_vocab_size
     R = shard_rows(Vp, n)
     sentinel = R
+    use_split = split is not None and split.has_small
+    big_slots = (
+        jnp.asarray(split.big_slots, jnp.int32) if use_split else None
+    )
 
     def inner(state: ShardedTrainState, ids, labels, weights):
         # shapes here are PER-DEVICE: ids [b_loc, S], table [R+1, D]
         b_loc, S = ids.shape
-        m = b_loc * S
-        cap = max(1, min(m, int(capacity_factor * _cdiv(m, n))))
+        d = state.table.shape[-1]
+        exch_ids = ids[:, big_slots] if use_split else ids
+        m = exch_ids.shape[0] * exch_ids.shape[1]
+        cap = max(1, min(max(m, 1), int(capacity_factor * _cdiv(max(m, 1), n))))
         rng, step_rng = jax.random.split(state.rng)
         step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(DATA_AXIS))
-
-        flat = ids.reshape(-1)
-        buckets = _bucket_by_owner(flat, n, sentinel, cap)
-        occ_rows, recv = _exchange_lookup(state.table, buckets, cap)
-        rows = occ_rows.reshape(b_loc, S, -1)
         mask = (ids != pad_id).astype(jnp.float32)
 
         gw = jax.lax.psum(weights.sum(), DATA_AXIS)
         gb = jnp.asarray(b_loc * n, jnp.float32)
 
-        def loss_fn(rows_, dense_):
-            logits = model.apply_rows(dense_, rows_, mask, train=True, rng=step_rng)
-            ls = jax.nn.log_sigmoid(logits)
-            lns = jax.nn.log_sigmoid(-logits)
-            per = -(labels * ls + (1.0 - labels) * lns)
-            loss_local = (per * weights).sum() / jnp.maximum(gw, 1.0)
-            if l2:
-                loss_local = loss_local + l2 * (
-                    jnp.square(rows_) * mask[..., None]
-                ).sum() / gb
-            return loss_local, logits
+        if m > 0:
+            flat = exch_ids.reshape(-1)
+            buckets = _bucket_by_owner(flat, n, sentinel, cap)
+            occ_rows, recv = _exchange_lookup(state.table, buckets, cap)
+        else:  # every field is in the matmul class: no exchange at all
+            buckets = None
+            occ_rows = jnp.zeros((0, d), state.table.dtype)
+            recv = jnp.zeros((n, 0), jnp.int32)
 
-        (loss_local, _logits), (g_rows, g_dense) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(rows, state.dense)
+        def make_loss(rows_builder):
+            def loss_fn(*diff_args):
+                rows_ = rows_builder(*diff_args[:-1])
+                dense_ = diff_args[-1]
+                logits = model.apply_rows(
+                    dense_, rows_, mask, train=True, rng=step_rng
+                )
+                ls = jax.nn.log_sigmoid(logits)
+                lns = jax.nn.log_sigmoid(-logits)
+                per = -(labels * ls + (1.0 - labels) * lns)
+                loss_local = (per * weights).sum() / jnp.maximum(gw, 1.0)
+                if l2:
+                    loss_local = loss_local + l2 * (
+                        jnp.square(rows_) * mask[..., None]
+                    ).sum() / gb
+                return loss_local, logits
+
+            return loss_fn
+
+        if use_split:
+            small_tabs, id_vecs = _gather_small_tables(state.table, split, n)
+            big_rows = occ_rows.reshape(b_loc if m else 0, len(split.big_slots), d)
+            if m == 0:
+                big_rows = jnp.zeros((b_loc, 0, d), state.table.dtype)
+
+            def build_rows(small_tabs_, big_rows_):
+                return assemble_rows(
+                    small_tabs_, big_rows_, ids, split, small_id_vectors=id_vecs
+                )
+
+            (loss_local, _logits), (g_small, g_big, g_dense) = (
+                jax.value_and_grad(
+                    make_loss(build_rows), argnums=(0, 1, 2), has_aux=True
+                )(small_tabs, big_rows, state.dense)
+            )
+            g_occ = g_big.reshape(-1, d)[:m]
+            patches = _small_grad_patches(g_small, split, n, R + 1)
+        else:
+            rows = occ_rows.reshape(b_loc, S, -1)
+            (loss_local, _logits), (g_rows, g_dense) = jax.value_and_grad(
+                make_loss(lambda r: r), argnums=(0, 1), has_aux=True
+            )(rows, state.dense)
+            g_occ = g_rows.reshape(m, -1)
+            patches = ()
 
         # --- dense: psum grads, replicated optax update
         g_dense = jax.lax.psum(g_dense, DATA_AXIS)
@@ -250,16 +371,22 @@ def make_sharded_train_step(
         dense = optax.apply_updates(state.dense, updates)
 
         # --- table: route occurrence grads to owner shards, dedupe, update
-        g_occ = g_rows.reshape(m, -1)
-        g_recv = _exchange_scatter_grads(g_occ, buckets, cap)       # [N, C, D]
-        occ_local_ids = recv.reshape(-1)
-        occ_grads = g_recv.reshape(occ_local_ids.shape[0], -1)
+        if buckets is not None:
+            g_recv = _exchange_scatter_grads(g_occ, buckets, cap)   # [N, C, D]
+            occ_local_ids = recv.reshape(-1)
+            occ_grads = g_recv.reshape(occ_local_ids.shape[0], -1)
+            dropped = buckets.dropped
+        else:
+            occ_local_ids = jnp.zeros((0,), jnp.int32)
+            occ_grads = jnp.zeros((0, d), state.table.dtype)
+            dropped = jnp.zeros((), jnp.int32)
         table, sparse_state = sparse_opt.update(
-            state.table, state.sparse_state, occ_local_ids, occ_grads
+            state.table, state.sparse_state, occ_local_ids, occ_grads,
+            patches=patches,
         )
 
         loss = jax.lax.psum(loss_local, DATA_AXIS)
-        dropped = jax.lax.psum(buckets.dropped, DATA_AXIS)
+        dropped = jax.lax.psum(dropped, DATA_AXIS)
         new_state = ShardedTrainState(
             step=state.step + 1,
             table=table,
@@ -303,6 +430,7 @@ def make_sharded_scan_train_step(
     mesh: Mesh,
     l2: float = 0.0,
     capacity_factor: float = 2.0,
+    split: SplitPlan | None = None,
 ):
     """T sharded train steps in one ``lax.scan`` dispatch.
 
@@ -312,7 +440,7 @@ def make_sharded_scan_train_step(
     """
     inner_builder = make_sharded_train_step(
         model, schema, sparse_opt, dense_opt, mesh,
-        l2=l2, capacity_factor=capacity_factor,
+        l2=l2, capacity_factor=capacity_factor, split=split,
     )
 
     _cache: dict = {}
@@ -334,19 +462,39 @@ def make_sharded_scan_train_step(
 
 
 def make_sharded_eval_step(model: Model, schema: Schema, mesh: Mesh,
-                           capacity_factor: float = 2.0):
+                           capacity_factor: float = 2.0,
+                           split: SplitPlan | None = None):
     """Sharded forward pass: ``(table_stored, dense, ids) -> logits``."""
     n = int(np.prod(list(mesh.shape.values())))
     pad_id = schema.pad_id
     R = shard_rows(schema.padded_vocab_size, n)
+    use_split = split is not None and split.has_small
+    big_slots = (
+        jnp.asarray(split.big_slots, jnp.int32) if use_split else None
+    )
 
     def inner(table, dense, ids):
         b_loc, S = ids.shape
-        m = b_loc * S
-        cap = max(1, min(m, int(capacity_factor * _cdiv(m, n))))
-        buckets = _bucket_by_owner(ids.reshape(-1), n, R, cap)
-        occ_rows, _ = _exchange_lookup(table, buckets, cap)
-        rows = occ_rows.reshape(b_loc, S, -1)
+        d = table.shape[-1]
+        exch_ids = ids[:, big_slots] if use_split else ids
+        m = exch_ids.shape[0] * exch_ids.shape[1]
+        cap = max(1, min(max(m, 1), int(capacity_factor * _cdiv(max(m, 1), n))))
+        if m > 0:
+            buckets = _bucket_by_owner(exch_ids.reshape(-1), n, R, cap)
+            occ_rows, _ = _exchange_lookup(table, buckets, cap)
+        else:
+            occ_rows = jnp.zeros((b_loc, 0, d), table.dtype)
+        if use_split:
+            small_tabs, id_vecs = _gather_small_tables(table, split, n)
+            rows = assemble_rows(
+                small_tabs,
+                occ_rows.reshape(b_loc, len(split.big_slots), d),
+                ids,
+                split,
+                small_id_vectors=id_vecs,
+            )
+        else:
+            rows = occ_rows.reshape(b_loc, S, -1)
         mask = (ids != pad_id).astype(jnp.float32)
         return model.apply_rows(dense, rows, mask, train=False, rng=None)
 

@@ -193,3 +193,117 @@ def test_sharded_scan_step_matches_loop(mesh, tiny_schema, tiny_dataset):
     np.testing.assert_allclose(
         np.asarray(st1.table), np.asarray(st2.table), rtol=1e-4, atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-embedding sharded path (small fields replicated via all_gather,
+# big fields via all-to-all; ops/split_embed.py + sharded.py split support)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("opt_name", ["sgd", "adagrad"])
+def test_sharded_split_matches_single_device(
+    opt_name, mesh, tiny_schema, tiny_dataset
+):
+    from deepctr_tpu.ops.split_embed import make_split_plan
+
+    model = FMModel(k=3)
+    sopt = SparseSgd(0.1) if opt_name == "sgd" else SparseAdagrad(0.1)
+    dopt = optax.sgd(0.05)
+    # tiny_schema fields: a=4, b=8, c=16, tags=10x3 -> threshold 8 keeps
+    # c(16) and tags(10)... pick 9 so c is big, a/b/tags small
+    plan = make_split_plan(tiny_schema, threshold=9)
+    assert plan.has_small and plan.big_slots
+
+    B, steps = 64, 4
+    ds = tiny_dataset
+    batches = [
+        (ds.ids[i * B:(i + 1) * B], ds.labels[i * B:(i + 1) * B],
+         np.ones(B, np.float32))
+        for i in range(steps)
+    ]
+
+    st = init_state(model, tiny_schema, sopt, dopt, seed=3)
+    step1 = make_train_step(model, tiny_schema, sopt, dopt, jit=False,
+                            split=plan)
+    losses1 = []
+    for ids, y, w in batches:
+        st, m = step1(st, ids, y, w)
+        losses1.append(float(m.loss))
+
+    sst = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=3)
+    stepN = make_sharded_train_step(
+        model, tiny_schema, sopt, dopt, mesh, capacity_factor=8.0, split=plan
+    )
+    lossesN = []
+    for ids, y, w in batches:
+        ids_d, y_d, w_d = shard_batch_arrays(mesh, ids, y, w)
+        sst, (loss, dropped) = stepN(sst, ids_d, y_d, w_d)
+        lossesN.append(float(loss))
+        assert int(dropped) == 0
+
+    np.testing.assert_allclose(losses1, lossesN, rtol=1e-4, atol=1e-5)
+    tableN = np.asarray(
+        unpack_table(sst.table, tiny_schema.padded_vocab_size, 8)
+    )
+    np.testing.assert_allclose(np.asarray(st.table), tableN, rtol=1e-4,
+                               atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st.dense),
+        jax.tree_util.tree_leaves(sst.dense),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_sharded_split_eval_matches_dense(mesh, tiny_schema, tiny_dataset):
+    from deepctr_tpu.ops.split_embed import make_split_plan
+
+    model = FMModel(k=3)
+    plan = make_split_plan(tiny_schema, threshold=9)
+    params = model.init_params(jax.random.PRNGKey(0), tiny_schema)
+    ids = tiny_dataset.ids[:64]
+    from deepctr_tpu.models import apply_model
+
+    want = apply_model(model, params, jnp.asarray(ids), tiny_schema.pad_id)
+    stored = pack_table(params["table"], 8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stored = jax.device_put(stored, NamedSharding(mesh, P("data")))
+    (ids_d,) = shard_batch_arrays(mesh, ids)
+    eval_step = make_sharded_eval_step(
+        model, tiny_schema, mesh, capacity_factor=8.0, split=plan
+    )
+    got = eval_step(stored, params["dense"], ids_d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_sharded_split_all_small(mesh, tiny_schema, tiny_dataset):
+    """Every field below threshold: no exchange traffic carries real ids."""
+    from deepctr_tpu.ops.split_embed import make_split_plan
+
+    model = LRModel()
+    plan = make_split_plan(tiny_schema, threshold=1000)
+    assert plan.has_small and not plan.big_slots
+    sopt, dopt = SparseAdagrad(0.1), optax.sgd(0.05)
+
+    st = init_state(model, tiny_schema, sopt, dopt, seed=5)
+    step1 = make_train_step(model, tiny_schema, sopt, dopt, jit=False,
+                            split=plan)
+    sst = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=5)
+    stepN = make_sharded_train_step(
+        model, tiny_schema, sopt, dopt, mesh, capacity_factor=8.0, split=plan
+    )
+    ids, y, w = (tiny_dataset.ids[:64], tiny_dataset.labels[:64],
+                 np.ones(64, np.float32))
+    st, m1 = step1(st, ids, y, w)
+    ids_d, y_d, w_d = shard_batch_arrays(mesh, ids, y, w)
+    sst, (loss, dropped) = stepN(sst, ids_d, y_d, w_d)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(m1.loss), float(loss), rtol=1e-4)
+    tableN = np.asarray(
+        unpack_table(sst.table, tiny_schema.padded_vocab_size, 8)
+    )
+    np.testing.assert_allclose(np.asarray(st.table), tableN, rtol=1e-4,
+                               atol=1e-5)
