@@ -84,10 +84,11 @@ class SparseSgd:
         rows: jax.Array,
         lr_scale: jax.Array | float = 1.0,
         patches=(),
+        ids_sorted: bool = False,
     ) -> tuple[jax.Array, SparseSgdState]:
         lr = self.learning_rate * lr_scale
         # scatter-add sums duplicates natively; no dedup pass needed
-        new_table = table.at[ids].add(-lr * rows)
+        new_table = table.at[ids].add(-lr * rows, indices_are_sorted=ids_sorted)
         for off, g in patches:
             d = table.shape[1]
             cur = jax.lax.dynamic_slice(new_table, (off, 0), (g.shape[0], d))
@@ -123,10 +124,13 @@ class SparseAdagrad:
         rows: jax.Array,
         lr_scale: jax.Array | float = 1.0,
         patches=(),
+        ids_sorted: bool = False,
     ) -> tuple[jax.Array, SparseAdagradState]:
         lr = self.learning_rate * lr_scale
         if _pick_dense(self.mode, table):
-            g = jnp.zeros_like(table).at[ids].add(rows)
+            g = jnp.zeros_like(table).at[ids].add(
+                rows, indices_are_sorted=ids_sorted
+            )
             acc = state.acc + g * g
             new_table = table - lr * g / (jnp.sqrt(acc) + self.eps)
         else:

@@ -68,7 +68,7 @@ class Scorer:
             # forward at full-iPinYou vocab, see ops/split_embed.py)
             from .ops.split_embed import (
                 assemble_rows,
-                gather_big_rows,
+                gather_big_rows_sorted,
                 make_split_plan,
                 slice_small_tables,
             )
@@ -80,7 +80,7 @@ class Scorer:
                 if split.has_small:
                     rows = assemble_rows(
                         slice_small_tables(table, split),
-                        gather_big_rows(table, ids, split),
+                        gather_big_rows_sorted(table, ids, split)[0],
                         ids,
                         split,
                     )

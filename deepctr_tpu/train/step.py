@@ -28,6 +28,7 @@ from ..ops.split_embed import (
     SplitPlan,
     assemble_rows,
     gather_big_rows,
+    gather_big_rows_sorted,
     grads_to_patches,
     slice_small_tables,
 )
@@ -93,7 +94,9 @@ def make_train_step(
 
         if split is not None and split.has_small:
             small_tabs = slice_small_tables(state.table, split)
-            big_rows = gather_big_rows(state.table, ids, split)
+            big_rows, sorted_ids, order = gather_big_rows_sorted(
+                state.table, ids, split
+            )
 
             def loss_fn(small_tabs_, big_rows_, dense_):
                 rows_ = assemble_rows(small_tabs_, big_rows_, ids, split)
@@ -107,10 +110,13 @@ def make_train_step(
             (loss, logits), (g_small, g_big, g_dense) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1, 2), has_aux=True
             )(small_tabs, big_rows, state.dense)
-            big_slots = jnp.asarray(split.big_slots, jnp.int32)
-            occ_ids = ids[:, big_slots].reshape(-1)
-            occ_rows = g_big.reshape(-1, g_big.shape[-1])
+            # scatter the big-field row grads in sorted-id order (the fwd
+            # gather already paid for the sort) so the optimizer's
+            # scatter-add takes XLA's faster sorted path
+            occ_ids = sorted_ids
+            occ_rows = jnp.take(g_big.reshape(-1, g_big.shape[-1]), order, axis=0)
             patches = grads_to_patches(g_small, split)
+            ids_sorted = True
         else:
             rows = jnp.take(state.table, ids, axis=0)  # [B, S, D]
 
@@ -128,6 +134,7 @@ def make_train_step(
             occ_ids = ids.reshape(-1)
             occ_rows = g_rows.reshape(-1, g_rows.shape[-1])
             patches = ()
+            ids_sorted = False
 
         table, sparse_state = sparse_opt.update(
             state.table,
@@ -136,6 +143,7 @@ def make_train_step(
             occ_rows,
             lr_scale=lr_scale,
             patches=patches,
+            ids_sorted=ids_sorted,
         )
         updates, dense_state = dense_opt.update(g_dense, state.dense_state, state.dense)
         # the reference decays its learning rate over epochs (SURVEY.md §3.1
@@ -203,7 +211,7 @@ def make_eval_step(
         if split is not None and split.has_small:
             rows = assemble_rows(
                 slice_small_tables(table, split),
-                gather_big_rows(table, ids, split),
+                gather_big_rows_sorted(table, ids, split)[0],
                 ids,
                 split,
             )
