@@ -138,17 +138,19 @@ def run(cfg) -> dict:
         model, schema, sparse_opt, dense_opt, seed=cfg.train.seed
     )
     resumed = False
+    start_epoch = 0
     if (
         cfg.train.resume
         and cfg.train.checkpoint_path
         and __import__("os").path.exists(cfg.train.checkpoint_path)
     ):
-        from .utils.checkpoint import load_train_state
+        from .utils.checkpoint import load_train_state, read_manifest
 
         state = load_train_state(cfg.train.checkpoint_path, state)
+        start_epoch = int(read_manifest(cfg.train.checkpoint_path).get("epoch", 0))
         resumed = True
         logger.log({"event": "resumed", "path": cfg.train.checkpoint_path,
-                    "step": int(state.step)})
+                    "step": int(state.step), "epoch": start_epoch})
 
     # two-phase flows (skipped when resuming: the checkpoint already
     # contains the initialised/fine-tuned tables)
@@ -188,10 +190,12 @@ def run(cfg) -> dict:
 
     if cfg.train.profile_dir:
         jax.profiler.start_trace(cfg.train.profile_dir)
+    ckpt_meta = {"sparse_opt": cfg.optim.sparse, "model": cfg.model.name}
     if cfg.train.sharded:
         result = _run_sharded(
             cfg, model, schema, sparse_opt, dense_opt,
-            tr_ids, tr_labels, te_ids, te_labels, logger, state
+            tr_ids, tr_labels, te_ids, te_labels, logger, state,
+            start_epoch=start_epoch, ckpt_meta=ckpt_meta,
         )
     else:
         def on_epoch(epoch, st, rec):
@@ -203,7 +207,8 @@ def run(cfg) -> dict:
                 cfg.train.checkpoint_path
                 and (epoch + 1) % max(cfg.train.checkpoint_every, 1) == 0
             ):
-                save_train_state(cfg.train.checkpoint_path, st)
+                save_train_state(cfg.train.checkpoint_path, st,
+                                 epoch=epoch + 1, meta=ckpt_meta)
 
         res = fit(
             model,
@@ -226,9 +231,14 @@ def run(cfg) -> dict:
             logger=logger,
             prefetch=cfg.train.prefetch,
             on_epoch=on_epoch,
+            start_epoch=start_epoch,
         )
         if cfg.train.checkpoint_path:
-            save_train_state(cfg.train.checkpoint_path, res.state)
+            epochs_done = start_epoch + sum(
+                1 for r in res.history if not r.get("eval_only")
+            )
+            save_train_state(cfg.train.checkpoint_path, res.state,
+                             epoch=epochs_done, meta=ckpt_meta)
             if cfg.model.name == "fm":
                 from .utils.checkpoint import save_fm_embeddings
 
@@ -245,19 +255,33 @@ def run(cfg) -> dict:
 
 
 def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
-                 tr_ids, tr_labels, te_ids, te_labels, logger, _state):
-    """Sharded training loop (row-sharded tables over the device mesh)."""
+                 tr_ids, tr_labels, te_ids, te_labels, logger, state,
+                 start_epoch: int = 0, ckpt_meta: dict | None = None):
+    """Sharded training loop (row-sharded tables over the device mesh).
+
+    Feature parity with the single-device loop (train/loop.py): consumes the
+    prepared state (pretraining / FM init / checkpoint resume), epoch LR
+    decay, ``lax.scan``-fused multi-step dispatch, background device
+    prefetch, heartbeat + periodic portable checkpoints, early stopping.
+    """
     import time
 
-    from .data.pipeline import minibatches
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .data.pipeline import DevicePrefetcher, minibatches
     from .parallel import (
-        init_sharded_state,
+        DATA_AXIS,
+        host_state_from_sharded,
         make_data_mesh,
         make_sharded_eval_step,
+        make_sharded_scan_train_step,
         make_sharded_train_step,
         shard_batch_arrays,
+        sharded_state_from_state,
     )
     from .utils import metrics as M
+    from .utils.checkpoint import save_train_state
 
     from .ops.split_embed import make_split_plan
 
@@ -267,75 +291,178 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
         else None
     )
     mesh = make_data_mesh(cfg.train.num_devices)
-    state = init_sharded_state(
-        model, schema, sparse_opt, dense_opt, mesh, seed=cfg.train.seed
-    )
+    # the prepared single-device state (with any pretraining/FM-init/resume
+    # applied in run()) is the source of truth — pack it onto the mesh
+    sstate = sharded_state_from_state(state, mesh)
     step = make_sharded_train_step(
         model, schema, sparse_opt, dense_opt, mesh,
         l2=cfg.optim.l2, capacity_factor=cfg.train.capacity_factor,
         split=split,
     )
+    scan_steps = cfg.train.scan_steps
+    scan_step = (
+        make_sharded_scan_train_step(
+            model, schema, sparse_opt, dense_opt, mesh,
+            l2=cfg.optim.l2, capacity_factor=cfg.train.capacity_factor,
+            split=split,
+        )
+        if scan_steps > 1
+        else None
+    )
     eval_step = make_sharded_eval_step(
         model, schema, mesh, capacity_factor=cfg.train.capacity_factor,
         split=split,
     )
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    scan_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    state = sstate
     history = []
     best_auc, best_epoch, since = -np.inf, -1, 0
-    for epoch in range(cfg.train.epochs):
-        t0 = time.perf_counter()
-        n_b, loss_sum, dropped_sum = 0, 0.0, 0
-        for b in minibatches(
-            tr_ids, tr_labels, cfg.train.batch_size, schema=schema,
-            shuffle=True, seed=cfg.train.seed + epoch, drop_remainder=True,
-        ):
-            ids, y, w = shard_batch_arrays(mesh, b.ids, b.labels, b.weights)
-            state, (loss, dropped) = step(state, ids, y, w)
-            loss_sum += float(loss)
-            dropped_sum += int(dropped)
-            n_b += 1
-        dt = time.perf_counter() - t0
-        # on-device streaming AUC: histograms accumulate on the sharded
-        # logits and only two [num_bins] vectors ever reach the host
-        # (SURVEY.md §5 observability row); logloss accumulates likewise
-        import jax
-        import jax.numpy as jnp
+    batch_size = cfg.train.batch_size
 
+    # on-device streaming AUC: histograms accumulate on the sharded
+    # logits and only two [num_bins] vectors ever reach the host
+    # (SURVEY.md §5 observability row); logloss accumulates likewise
+    @jax.jit
+    def _accum(st, logits, labels, weights):
+        st2 = M.auc_state_update(st, logits, labels, weights)
+        ls = jax.nn.log_sigmoid(logits)
+        lns = jax.nn.log_sigmoid(-logits)
+        ll = -(labels * ls + (1 - labels) * lns)
+        return st2, (ll * weights).sum(), weights.sum()
+
+    def sharded_eval(st):
         auc_state = M.auc_state_init()
-
-        @jax.jit
-        def accum(st, logits, labels, weights):
-            st2 = M.auc_state_update(st, logits, labels, weights)
-            ls = jax.nn.log_sigmoid(logits)
-            lns = jax.nn.log_sigmoid(-logits)
-            ll = -(labels * ls + (1 - labels) * lns)
-            return st2, (ll * weights).sum(), weights.sum()
-
         ll_sum, w_sum = 0.0, 0.0
         for b in minibatches(
-            te_ids, te_labels, cfg.train.batch_size, schema=schema,
+            te_ids, te_labels, batch_size, schema=schema,
             shuffle=False, drop_remainder=False,
         ):
             ids_d, y_d, w_d = shard_batch_arrays(mesh, b.ids, b.labels, b.weights)
-            logits = eval_step(state.table, state.dense, ids_d)
-            auc_state, ll_b, w_b = accum(auc_state, logits, y_d, w_d)
+            logits = eval_step(st.table, st.dense, ids_d)
+            auc_state, ll_b, w_b = _accum(auc_state, logits, y_d, w_d)
             ll_sum += float(ll_b)
             w_sum += float(w_b)
+        return {"auc": M.auc_state_finalize(auc_state),
+                "logloss": ll_sum / max(w_sum, 1.0)}
+
+    epochs_done = start_epoch
+    for epoch in range(start_epoch, cfg.train.epochs):
+        t0 = time.perf_counter()
+        lr_scale = cfg.train.lr_decay ** epoch
+        n_b, loss_sum, dropped_sum = 0, 0.0, 0
+        if scan_step is not None:
+            S = tr_ids.shape[1]
+            n = tr_ids.shape[0]
+            order = np.arange(n)
+            np.random.default_rng(cfg.train.seed + epoch).shuffle(order)
+
+            def chunks():
+                chunk = scan_steps * batch_size
+                for start in range(0, n - batch_size + 1, chunk):
+                    sel = order[start : start + chunk]
+                    nb = len(sel) // batch_size
+                    sel = sel[: nb * batch_size]
+                    if nb == 0:
+                        return
+                    ids_t = tr_ids[sel].reshape(nb, batch_size, S)
+                    y_t = tr_labels[sel].reshape(nb, batch_size)
+                    w_t = np.ones((nb, batch_size), np.float32)
+                    if nb < scan_steps:  # pad to the compiled T, weight 0
+                        padb = scan_steps - nb
+                        ids_t = np.concatenate(
+                            [ids_t, np.full((padb, batch_size, S),
+                                            schema.pad_id, np.int32)]
+                        )
+                        y_t = np.concatenate(
+                            [y_t, np.zeros((padb, batch_size), np.float32)]
+                        )
+                        w_t = np.concatenate(
+                            [w_t, np.zeros((padb, batch_size), np.float32)]
+                        )
+                    yield nb, (ids_t, y_t, w_t)
+
+            it = chunks()
+            if cfg.train.prefetch:
+                # (nb, (ids,y,w)) tuples: the prefetcher device_puts the
+                # arrays with the [T, B, S] scan sharding, passes nb through
+                it = DevicePrefetcher(it, depth=2, sharding=scan_sharding)
+            for nb, (ids_t, y_t, w_t) in it:
+                state, (losses, dropped) = scan_step(
+                    state, ids_t, y_t, w_t, lr_scale
+                )
+                loss_sum += float(np.asarray(losses)[:nb].sum())
+                dropped_sum += int(np.asarray(dropped).sum())
+                n_b += nb
+        else:
+            it = minibatches(
+                tr_ids, tr_labels, batch_size, schema=schema,
+                shuffle=True, seed=cfg.train.seed + epoch, drop_remainder=True,
+            )
+            if cfg.train.prefetch:
+                it = DevicePrefetcher(it, depth=2, sharding=batch_sharding)
+            for b in it:
+                if cfg.train.prefetch:
+                    ids, y, w = b.ids, b.labels, b.weights
+                else:
+                    ids, y, w = shard_batch_arrays(
+                        mesh, b.ids, b.labels, b.weights
+                    )
+                state, (loss, dropped) = step(state, ids, y, w, lr_scale)
+                loss_sum += float(loss)
+                dropped_sum += int(dropped)
+                n_b += 1
+        jax.block_until_ready(state.table)
+        dt = time.perf_counter() - t0
+        epochs_done = epoch + 1
         rec = {
             "epoch": epoch,
             "train_loss": loss_sum / max(n_b, 1),
             "dropped_ids": dropped_sum,
             "examples_per_s": n_b * cfg.train.batch_size / max(dt, 1e-9),
-            "auc": M.auc_state_finalize(auc_state),
-            "logloss": ll_sum / max(w_sum, 1.0),
+            **sharded_eval(state),
         }
         history.append(rec)
         logger.log(rec)
+        # heartbeat + periodic portable checkpoint (fault tolerance,
+        # SURVEY.md §5 failure row) — same contract as the unsharded loop;
+        # the checkpoint is saved in the logical single-device layout so it
+        # resumes on any device count (or unsharded)
+        logger.log({"event": "heartbeat", "epoch": epoch,
+                    "step": int(state.step)})
+        if (
+            cfg.train.checkpoint_path
+            and (epoch + 1) % max(cfg.train.checkpoint_every, 1) == 0
+        ):
+            save_train_state(
+                cfg.train.checkpoint_path,
+                host_state_from_sharded(state, schema.padded_vocab_size, mesh),
+                epoch=epoch + 1, meta=ckpt_meta,
+            )
         if rec["auc"] > best_auc:
             best_auc, best_epoch, since = rec["auc"], epoch, 0
         else:
             since += 1
             if since > cfg.train.early_stop_patience:
                 break
+    if not history:  # resumed past the epoch target: evaluate only
+        ev = sharded_eval(state)
+        rec = {"epoch": start_epoch, "eval_only": True, **ev}
+        history.append(rec)
+        logger.log(rec)
+        best_auc, best_epoch = ev["auc"], start_epoch
+    if cfg.train.checkpoint_path:
+        host_state = host_state_from_sharded(
+            state, schema.padded_vocab_size, mesh
+        )
+        save_train_state(cfg.train.checkpoint_path, host_state,
+                         epoch=epochs_done, meta=ckpt_meta)
+        if cfg.model.name == "fm":
+            from .utils.checkpoint import save_fm_embeddings
+
+            save_fm_embeddings(
+                cfg.train.checkpoint_path + ".fm_table", host_state.table
+            )
     return {"best_auc": float(best_auc), "best_epoch": best_epoch,
             "history": history}
 

@@ -11,12 +11,14 @@ from .mesh import DATA_AXIS, data_sharding, make_data_mesh, replicated, shard_ba
 from .dp import make_dp_train_step, replicate_state
 from .sharded import (
     ShardedTrainState,
+    host_state_from_sharded,
     init_sharded_state,
     make_sharded_eval_step,
     make_sharded_scan_train_step,
     make_sharded_train_step,
     pack_table,
     shard_rows,
+    sharded_state_from_state,
     unpack_table,
 )
 
@@ -29,6 +31,8 @@ __all__ = [
     "make_dp_train_step",
     "replicate_state",
     "ShardedTrainState",
+    "host_state_from_sharded",
+    "sharded_state_from_state",
     "init_sharded_state",
     "make_sharded_eval_step",
     "make_sharded_scan_train_step",

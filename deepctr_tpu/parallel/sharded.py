@@ -148,7 +148,8 @@ def _exchange_scatter_grads(g_occ: jax.Array, b: _Buckets, cap: int) -> jax.Arra
 
 
 def _small_field_geometry(plan: SplitPlan, n: int, r_plus_1: int):
-    """Static per-field slice geometry: [(cnt, off)] with cnt rows/shard."""
+    """Static per-field slice geometry: [(cnt, offset, vocab)] per small
+    field, with ``cnt`` resident rows per shard."""
     geo = []
     for f in plan.small:
         cnt = min(_cdiv(f.vocab, n), r_plus_1)
@@ -265,6 +266,67 @@ def init_sharded_state(
     )
 
 
+def sharded_state_from_state(state, mesh: Mesh) -> ShardedTrainState:
+    """Pack a prepared single-device TrainState into the sharded layout.
+
+    This is how pretraining output, FM->FNN init and checkpoint resume flow
+    into the multi-chip path (SURVEY.md §5 checkpoint row): the logical
+    [V_padded, D] table (and any table-shaped optimizer leaf, e.g. the
+    Adagrad accumulator) is packed shard-major; dense params/optimizer state,
+    step counter and RNG are replicated as-is.
+    """
+    n = int(np.prod(list(mesh.shape.values())))
+    table_shape = tuple(state.table.shape)
+
+    def maybe_pack(x):
+        x = jnp.asarray(x)
+        if x.ndim == 2 and tuple(x.shape) == table_shape:
+            return pack_table(x, n)
+        return x
+
+    shd = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return ShardedTrainState(
+        step=jax.device_put(jnp.asarray(state.step, jnp.int32), rep),
+        table=jax.device_put(pack_table(jnp.asarray(state.table), n), shd),
+        sparse_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(maybe_pack(x), shd), state.sparse_state
+        ),
+        dense=jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rep), state.dense
+        ),
+        dense_state=jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rep), state.dense_state
+        ),
+        rng=jax.device_put(jnp.asarray(state.rng), rep),
+    )
+
+
+def host_state_from_sharded(sst: ShardedTrainState, vocab_padded: int, mesh: Mesh):
+    """Inverse of :func:`sharded_state_from_state`: gather + unpack to the
+    logical single-device TrainState layout (for portable checkpoints — a
+    sharded checkpoint loads into an unsharded run and vice versa, on any
+    device count)."""
+    from ..train.step import TrainState
+
+    n = int(np.prod(list(mesh.shape.values())))
+    stored_shape = tuple(sst.table.shape)
+
+    def maybe_unpack(x):
+        if getattr(x, "ndim", 0) == 2 and tuple(x.shape) == stored_shape:
+            return np.asarray(unpack_table(x, vocab_padded, n))
+        return np.asarray(x)
+
+    return TrainState(
+        step=np.asarray(sst.step),
+        table=maybe_unpack(sst.table),
+        sparse_state=jax.tree_util.tree_map(maybe_unpack, sst.sparse_state),
+        dense=jax.tree_util.tree_map(np.asarray, sst.dense),
+        dense_state=jax.tree_util.tree_map(np.asarray, sst.dense_state),
+        rng=np.asarray(sst.rng),
+    )
+
+
 def make_sharded_train_step(
     model: Model,
     schema: Schema,
@@ -280,8 +342,10 @@ def make_sharded_train_step(
 
     Data-parallel batch + row-sharded table + replicated dense tower with
     psum gradient sync (BASELINE.json:5).  Returns
-    ``step(state, ids, labels, weights) -> (state, (loss, dropped))`` where
-    ``dropped`` counts capacity-overflow occurrences (zero in healthy runs).
+    ``step(state, ids, labels, weights, lr_scale=1.0) -> (state, (loss,
+    dropped))`` where ``dropped`` counts capacity-overflow occurrences (zero
+    in healthy runs) and ``lr_scale`` applies epoch LR decay uniformly to
+    the sparse and dense updates, matching train/step.py.
 
     With ``split`` (ops/split_embed.py), small fields bypass the all-to-all:
     their rows are all-gathered as replicated subtables (a few hundred KB)
@@ -297,7 +361,7 @@ def make_sharded_train_step(
         jnp.asarray(split.big_slots, jnp.int32) if use_split else None
     )
 
-    def inner(state: ShardedTrainState, ids, labels, weights):
+    def inner(state: ShardedTrainState, ids, labels, weights, lr_scale):
         # shapes here are PER-DEVICE: ids [b_loc, S], table [R+1, D]
         b_loc, S = ids.shape
         d = state.table.shape[-1]
@@ -365,9 +429,11 @@ def make_sharded_train_step(
             g_occ = g_rows.reshape(m, -1)
             patches = ()
 
-        # --- dense: psum grads, replicated optax update
+        # --- dense: psum grads, replicated optax update; lr_scale applies
+        # uniformly to both sides, matching train/step.py (epoch LR decay)
         g_dense = jax.lax.psum(g_dense, DATA_AXIS)
         updates, dense_state = dense_opt.update(g_dense, state.dense_state, state.dense)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         dense = optax.apply_updates(state.dense, updates)
 
         # --- table: route occurrence grads to owner shards, dedupe, update
@@ -382,7 +448,7 @@ def make_sharded_train_step(
             dropped = jnp.zeros((), jnp.int32)
         table, sparse_state = sparse_opt.update(
             state.table, state.sparse_state, occ_local_ids, occ_grads,
-            patches=patches,
+            lr_scale=lr_scale, patches=patches,
         )
 
         loss = jax.lax.psum(loss_local, DATA_AXIS)
@@ -402,22 +468,29 @@ def make_sharded_train_step(
         fn = jax.shard_map(
             inner,
             mesh=mesh,
-            in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(specs, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(specs, (P(), P())),
             check_vma=False,
         )
         return jax.jit(fn, donate_argnums=(0,))
 
     if template_state is not None:
-        return build(template_state)
+        built = build(template_state)
+
+        def step_t(state, ids, labels, weights, lr_scale=1.0):
+            return built(state, ids, labels, weights,
+                         jnp.asarray(lr_scale, jnp.float32))
+
+        return step_t
 
     _cache: dict = {}
 
-    def step(state, ids, labels, weights):
+    def step(state, ids, labels, weights, lr_scale=1.0):
         key = jax.tree_util.tree_structure(state)
         if key not in _cache:
             _cache[key] = build(state)
-        return _cache[key](state, ids, labels, weights)
+        return _cache[key](state, ids, labels, weights,
+                           jnp.asarray(lr_scale, jnp.float32))
 
     return step
 
@@ -445,18 +518,19 @@ def make_sharded_scan_train_step(
 
     _cache: dict = {}
 
-    def scan_step(state: ShardedTrainState, ids, labels, weights):
+    def scan_step(state: ShardedTrainState, ids, labels, weights, lr_scale=1.0):
         key = jax.tree_util.tree_structure(state)
         if key not in _cache:
-            def jitted(state_, ids_, labels_, weights_):
+            def jitted(state_, ids_, labels_, weights_, lr_scale_):
                 def body(st, batch):
-                    st2, (loss, dropped) = inner_builder(st, *batch)
+                    st2, (loss, dropped) = inner_builder(st, *batch, lr_scale_)
                     return st2, (loss, dropped)
 
                 return jax.lax.scan(body, state_, (ids_, labels_, weights_))
 
             _cache[key] = jax.jit(jitted, donate_argnums=(0,))
-        return _cache[key](state, ids, labels, weights)
+        return _cache[key](state, ids, labels, weights,
+                           jnp.asarray(lr_scale, jnp.float32))
 
     return scan_step
 

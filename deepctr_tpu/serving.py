@@ -43,6 +43,19 @@ class Scorer:
         pad_id = self.schema.pad_id
         model = self.model
 
+        # split lookup: small fields as one-hot MXU matmuls (~6x faster
+        # forward at full-iPinYou vocab, see ops/split_embed.py) — shared by
+        # every quantization mode
+        from .ops.split_embed import (
+            assemble_rows,
+            gather_big_rows,
+            gather_big_rows_sorted,
+            make_split_plan,
+            slice_small_tables,
+        )
+
+        split = make_split_plan(self.schema)
+
         if self.quantize == "int8":
             t = jnp.asarray(self.table, jnp.float32)
             scales = jnp.maximum(jnp.abs(t).max(axis=1, keepdims=True), 1e-12) / 127.0
@@ -51,10 +64,26 @@ class Scorer:
 
             @jax.jit
             def fwd(table, scales_, dense, ids):
-                rows = (
-                    jnp.take(table, ids, axis=0).astype(jnp.float32)
-                    * jnp.take(scales_, ids, axis=0)
-                )
+                if split.has_small:
+                    # dequantise each small subtable once per call (a few
+                    # hundred KB), then one-hot-matmul in f32; big fields
+                    # dequantise only the gathered rows
+                    small = [
+                        q.astype(jnp.float32) * s
+                        for q, s in zip(
+                            slice_small_tables(table, split),
+                            slice_small_tables(scales_, split),
+                        )
+                    ]
+                    big = gather_big_rows(table, ids, split).astype(
+                        jnp.float32
+                    ) * gather_big_rows(scales_, ids, split)
+                    rows = assemble_rows(small, big, ids, split)
+                else:
+                    rows = (
+                        jnp.take(table, ids, axis=0).astype(jnp.float32)
+                        * jnp.take(scales_, ids, axis=0)
+                    )
                 mask = (ids != pad_id).astype(jnp.float32)
                 return model.apply_rows(dense, rows, mask, train=False, rng=None)
 
@@ -63,17 +92,6 @@ class Scorer:
             dtype = jnp.bfloat16 if self.quantize == "bf16" else jnp.float32
             self._table = jnp.asarray(self.table, dtype)
             self._scales = None
-
-            # split lookup: small fields as one-hot MXU matmuls (~6x faster
-            # forward at full-iPinYou vocab, see ops/split_embed.py)
-            from .ops.split_embed import (
-                assemble_rows,
-                gather_big_rows_sorted,
-                make_split_plan,
-                slice_small_tables,
-            )
-
-            split = make_split_plan(self.schema)
 
             @jax.jit
             def fwd(table, dense, ids):
@@ -104,29 +122,20 @@ class Scorer:
     def from_checkpoint(path: str, model: Model, schema: Schema,
                         batch_size: int = 8192,
                         quantize: str | None = None) -> "Scorer":
-        """Load from a train-state checkpoint written by the CLI/loop."""
+        """Load from a train-state checkpoint written by the CLI/loop.
+
+        The checkpoint manifest records where the (table, dense) leaves sit
+        (utils/checkpoint.py), so serving never reconstructs optimizer
+        state — no guessing which optimizer trained the model.
+        """
         import jax
-        import optax
 
-        from .optim import SparseSgd
-        from .train.step import init_state
-        from .utils.checkpoint import load_train_state
+        from .utils.checkpoint import load_scoring_params
 
-        like = init_state(model, schema, SparseSgd(0.0), optax.sgd(0.0), seed=0)
-        # checkpoints store the full state; optimizer choice only shapes the
-        # optimizer-state leaves, which scoring ignores — but the treedef
-        # must match, so retry with Adagrad-shaped state if SGD-shaped fails
-        try:
-            state = load_train_state(path, like)
-        except Exception:
-            from .optim import SparseAdagrad
-
-            like = init_state(
-                model, schema, SparseAdagrad(0.0), optax.adagrad(0.0), seed=0
-            )
-            state = load_train_state(path, like)
-        return Scorer(model=model, schema=schema, table=state.table,
-                      dense=state.dense, batch_size=batch_size,
+        dense_like = model.init_params(jax.random.PRNGKey(0), schema)["dense"]
+        table, dense = load_scoring_params(path, dense_like)
+        return Scorer(model=model, schema=schema, table=table,
+                      dense=dense, batch_size=batch_size,
                       quantize=quantize)
 
     # ---- scoring ----------------------------------------------------------

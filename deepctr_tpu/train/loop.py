@@ -79,11 +79,16 @@ def fit(
     logger: MetricsLogger | None = None,
     prefetch: bool = True,
     on_epoch: Callable[[int, TrainState, dict], None] | None = None,
+    start_epoch: int = 0,
 ) -> FitResult:
     """Train with per-epoch eval and early stop on held-out AUC.
 
     Mirrors the reference's training procedure (SURVEY.md §2.3: epochs over
     shuffled minibatches, per-epoch test eval, early stop on AUC).
+
+    ``start_epoch`` (checkpoint resume) continues the epoch schedule — the
+    shuffle seeds and LR decay pick up exactly where the saved run stopped,
+    so kill+resume reproduces the uninterrupted trajectory bitwise.
 
     ``scan_steps > 1`` fuses that many minibatch steps into one jitted
     ``lax.scan`` dispatch — semantically identical training, but host
@@ -108,7 +113,7 @@ def fit(
 
     history: list[dict] = []
     best_auc, best_epoch, since_best = -np.inf, -1, 0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         lr_scale = lr_decay**epoch
         n_batches = 0
@@ -189,6 +194,15 @@ def fit(
             since_best += 1
             if since_best > early_stop_patience:
                 break
+    if not history:  # resumed past the epoch target: evaluate only
+        ev = evaluate(
+            eval_step, state.table, state.dense, test_ids, test_labels, schema
+        )
+        rec = {"epoch": start_epoch, "eval_only": True, **ev}
+        history.append(rec)
+        if logger is not None:
+            logger.log(rec)
+        best_auc, best_epoch = ev["auc"], start_epoch
     return FitResult(
         state=state, history=history, best_auc=float(best_auc), best_epoch=best_epoch
     )

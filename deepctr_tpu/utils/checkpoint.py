@@ -24,11 +24,16 @@ def _flatten(tree):
     return leaves, str(treedef)
 
 
-def save_pytree(path: str, tree) -> None:
+def save_pytree(path: str, tree, extra: dict | None = None) -> None:
+    """Atomic npz save of a pytree; ``extra`` merges into the JSON manifest
+    (used for checkpoint metadata: epochs completed, optimizer kind, ...)."""
     leaves, treedef = _flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    manifest = {"n": len(leaves), "treedef": treedef}
+    if extra:
+        manifest.update(extra)
     tmp = path + ".tmp"
-    np.savez(tmp, manifest=json.dumps({"n": len(leaves), "treedef": treedef}), **arrays)
+    np.savez(tmp, manifest=json.dumps(manifest), **arrays)
     src = tmp if os.path.exists(tmp) else tmp + ".npz"
     os.replace(src, path)
 
@@ -44,12 +49,62 @@ def load_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save_train_state(path: str, state) -> None:
-    save_pytree(path, state)
+def read_manifest(path: str) -> dict:
+    """Read the JSON manifest of a checkpoint without loading the arrays."""
+    with np.load(path, allow_pickle=False) as z:
+        return json.loads(str(z["manifest"]))
+
+
+def save_train_state(path: str, state, epoch: int = 0,
+                     meta: dict | None = None) -> None:
+    """Save a TrainState checkpoint.  ``epoch`` records epochs COMPLETED so
+    resume continues the epoch schedule (shuffle seeds, LR decay) exactly
+    where the killed run stopped.
+
+    The manifest additionally records where the ``table`` and ``dense``
+    leaves sit in the flat leaf list ("scoring" entry), so serving can load
+    model params without reconstructing the optimizer-state pytree.
+    """
+    extra = {"epoch": int(epoch)}
+    if meta:
+        extra.update(meta)
+    # TrainState field order: step, table, sparse_state, dense, dense_state,
+    # rng -> table is leaf 1; dense leaves follow the sparse-state leaves
+    n_sparse = len(jax.tree_util.tree_leaves(state.sparse_state))
+    n_dense = len(jax.tree_util.tree_leaves(state.dense))
+    extra["scoring"] = {
+        "table_leaf": 1,
+        "dense_start": 2 + n_sparse,
+        "n_dense": n_dense,
+    }
+    save_pytree(path, state, extra=extra)
 
 
 def load_train_state(path: str, like):
     return load_pytree(path, like)
+
+
+def load_scoring_params(path: str, dense_like):
+    """Load just (table, dense) from a train-state checkpoint — the serving
+    path (no optimizer state is materialised).  ``dense_like`` provides the
+    dense-params pytree structure (from ``model.init_params``)."""
+    import jax.numpy as jnp
+
+    manifest = read_manifest(path)
+    sc = manifest["scoring"]
+    _, dense_def = jax.tree_util.tree_flatten(dense_like)
+    if dense_def.num_leaves != sc["n_dense"]:
+        raise ValueError(
+            f"checkpoint {path} has {sc['n_dense']} dense leaves, model "
+            f"expects {dense_def.num_leaves} — model/config mismatch"
+        )
+    with np.load(path, allow_pickle=False) as z:
+        table = jnp.asarray(z[f"leaf_{sc['table_leaf']}"])
+        dense_leaves = [
+            jnp.asarray(z[f"leaf_{sc['dense_start'] + i}"])
+            for i in range(sc["n_dense"])
+        ]
+    return table, jax.tree_util.tree_unflatten(dense_def, dense_leaves)
 
 
 # ---------------------------------------------------------------------------

@@ -80,9 +80,21 @@ def test_cli_end_to_end_fm_then_fnn(tmp_path):
     assert all(json.loads(ln) for ln in lines)
 
 
-def test_cli_sharded_snn_with_pretrain(tmp_path):
+def test_cli_sharded_snn_with_pretrain(tmp_path, monkeypatch):
     """SNN with DAE pretrain on the sharded multi-device path (the
-    BASELINE.json:10 'SNN multi-chip' config, shrunk)."""
+    BASELINE.json:10 'SNN multi-chip' config, shrunk).
+
+    Regression (round-1 VERDICT weak #1): the sharded loop must CONSUME the
+    pretrained state, not re-init from the seed — we spy on the state
+    handoff and assert the initial sharded table equals the pretrained one.
+    """
+    import jax
+
+    import deepctr_tpu.parallel as par
+    from deepctr_tpu.cli import build_model, build_optimizers, load_data
+    from deepctr_tpu.parallel import unpack_table
+    from deepctr_tpu.train import init_state
+
     cfg = RunConfig().apply_overrides(
         [
             "model.name=snn",
@@ -99,8 +111,98 @@ def test_cli_sharded_snn_with_pretrain(tmp_path):
             "train.prefetch=false",
         ]
     )
+    captured = {}
+    orig = par.sharded_state_from_state
+
+    def spy(state, mesh):
+        captured["table"] = np.asarray(state.table).copy()
+        sst = orig(state, mesh)
+        captured["sharded_table"] = np.asarray(sst.table).copy()
+        return sst
+
+    monkeypatch.setattr(par, "sharded_state_from_state", spy)
     res = run(cfg)
     assert np.isfinite(res["best_auc"])
+
+    schema, *_ = load_data(cfg)
+    # the state handed to the sharded loop must differ from a fresh init
+    # (pretraining modified the table) ...
+    model = build_model(cfg, schema)
+    sopt, dopt = build_optimizers(cfg)
+    fresh = init_state(model, schema, sopt, dopt, seed=cfg.train.seed)
+    assert not np.allclose(captured["table"], np.asarray(fresh.table))
+    # ... and the packed sharded table must equal the pretrained table
+    got = np.asarray(
+        unpack_table(
+            captured["sharded_table"], schema.padded_vocab_size,
+            len(jax.devices()),
+        )
+    )
+    np.testing.assert_array_equal(got, captured["table"])
+
+
+def _ckpt_table(path):
+    import json as _json
+
+    with np.load(path, allow_pickle=False) as z:
+        m = _json.loads(str(z["manifest"]))
+        return np.asarray(z[f"leaf_{m['scoring']['table_leaf']}"])
+
+
+@pytest.mark.parametrize("scan_steps", [0, 2])
+def test_cli_sharded_matches_unsharded(tmp_path, scan_steps):
+    """End-to-end CLI parity: the sharded loop (prefetch + lr_decay + scan)
+    must produce the same trained table as the single-device loop."""
+    base = [
+        "model.name=fm",
+        "model.k=3",
+        "data.synthetic_examples=4000",
+        "train.batch_size=512",
+        "train.epochs=2",
+        "train.lr_decay=0.5",
+        f"train.scan_steps={scan_steps}",
+        "train.capacity_factor=8.0",
+    ]
+    ck1 = str(tmp_path / "single.npz")
+    ck8 = str(tmp_path / "sharded.npz")
+    run(RunConfig().apply_overrides(
+        base + ["train.prefetch=false", f"train.checkpoint_path={ck1}"]
+    ))
+    run(RunConfig().apply_overrides(
+        base + ["train.sharded=true", "train.prefetch=true",
+                f"train.checkpoint_path={ck8}"]
+    ))
+    np.testing.assert_allclose(
+        _ckpt_table(ck1), _ckpt_table(ck8), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cli_sharded_kill_resume_matches_uninterrupted(tmp_path):
+    """Sharded fault tolerance: 2 epochs + resume-to-3 == 3 uninterrupted
+    epochs, bitwise (checkpoint carries table, Adagrad acc, RNG, epoch)."""
+    base = [
+        "model.name=fm",
+        "model.k=3",
+        "data.synthetic_examples=4000",
+        "train.batch_size=512",
+        "train.sharded=true",
+        "train.capacity_factor=8.0",
+        "train.prefetch=false",
+        "train.lr_decay=0.7",
+    ]
+    ck_a = str(tmp_path / "uninterrupted.npz")
+    ck_b = str(tmp_path / "resumed.npz")
+    run(RunConfig().apply_overrides(
+        base + ["train.epochs=3", f"train.checkpoint_path={ck_a}"]
+    ))
+    run(RunConfig().apply_overrides(
+        base + ["train.epochs=2", f"train.checkpoint_path={ck_b}"]
+    ))
+    run(RunConfig().apply_overrides(
+        base + ["train.epochs=3", "train.resume=true",
+                f"train.checkpoint_path={ck_b}"]
+    ))
+    np.testing.assert_array_equal(_ckpt_table(ck_a), _ckpt_table(ck_b))
 
 
 def test_cli_print_config(capsys):

@@ -307,3 +307,78 @@ def test_sharded_split_all_small(mesh, tiny_schema, tiny_dataset):
     )
     np.testing.assert_allclose(np.asarray(st.table), tableN, rtol=1e-4,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Prepared-state handoff (pretraining / FM init / resume -> sharded layout)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_state_from_state_roundtrip(mesh, tiny_schema):
+    """Packing a prepared TrainState onto the mesh and unpacking it back must
+    preserve the table, the table-shaped Adagrad accumulator, dense params,
+    the step counter and the RNG — the contract the CLI's pretrain/FM-init/
+    resume handoff relies on."""
+    from deepctr_tpu.parallel import host_state_from_sharded, sharded_state_from_state
+
+    model = FMModel(k=3)
+    sopt, dopt = SparseAdagrad(0.1), optax.adagrad(0.05)
+    st = init_state(model, tiny_schema, sopt, dopt, seed=11)
+    # make the state distinctive (as pretraining would)
+    st = st._replace(
+        table=st.table + 7.0,
+        sparse_state=st.sparse_state._replace(acc=st.sparse_state.acc + 3.0),
+        step=jnp.asarray(42, jnp.int32),
+    )
+    sst = sharded_state_from_state(st, mesh)
+    got = np.asarray(
+        unpack_table(sst.table, tiny_schema.padded_vocab_size, 8)
+    )
+    np.testing.assert_array_equal(got, np.asarray(st.table))
+    acc = np.asarray(
+        unpack_table(sst.sparse_state.acc, tiny_schema.padded_vocab_size, 8)
+    )
+    np.testing.assert_array_equal(acc, np.asarray(st.sparse_state.acc))
+    assert int(sst.step) == 42
+
+    back = host_state_from_sharded(sst, tiny_schema.padded_vocab_size, mesh)
+    np.testing.assert_array_equal(back.table, np.asarray(st.table))
+    np.testing.assert_array_equal(back.sparse_state.acc,
+                                  np.asarray(st.sparse_state.acc))
+    for a, b in zip(jax.tree_util.tree_leaves(st.dense),
+                    jax.tree_util.tree_leaves(back.dense)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(st.rng), back.rng)
+
+
+def test_sharded_lr_scale_matches_single_device(mesh, tiny_schema, tiny_dataset):
+    """lr_scale (epoch LR decay) must decay sharded training identically to
+    the single-device step (VERDICT weak #8)."""
+    model = FMModel(k=3)
+    sopt, dopt = SparseAdagrad(0.1), optax.sgd(0.05)
+    ds = tiny_dataset
+    B = 64
+    batches = [
+        (ds.ids[i * B:(i + 1) * B], ds.labels[i * B:(i + 1) * B],
+         np.ones(B, np.float32))
+        for i in range(3)
+    ]
+    scales = [1.0, 0.5, 0.25]
+
+    st = init_state(model, tiny_schema, sopt, dopt, seed=3)
+    step1 = make_train_step(model, tiny_schema, sopt, dopt, jit=False)
+    for (ids, y, w), s in zip(batches, scales):
+        st, _ = step1(st, ids, y, w, s)
+
+    sst = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=3)
+    stepN = make_sharded_train_step(model, tiny_schema, sopt, dopt, mesh,
+                                    capacity_factor=8.0)
+    for (ids, y, w), s in zip(batches, scales):
+        ids_d, y_d, w_d = shard_batch_arrays(mesh, ids, y, w)
+        sst, _ = stepN(sst, ids_d, y_d, w_d, s)
+
+    tableN = np.asarray(
+        unpack_table(sst.table, tiny_schema.padded_vocab_size, 8)
+    )
+    np.testing.assert_allclose(np.asarray(st.table), tableN, rtol=1e-4,
+                               atol=1e-5)
