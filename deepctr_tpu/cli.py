@@ -58,7 +58,10 @@ def build_optimizers(cfg):
 
     from .optim import make_sparse_optimizer
 
-    sparse = make_sparse_optimizer(cfg.optim.sparse, cfg.optim.sparse_lr)
+    kw = {}
+    if cfg.optim.sparse == "adagrad":
+        kw = {"eps": cfg.optim.eps, "mode": cfg.optim.sparse_mode}
+    sparse = make_sparse_optimizer(cfg.optim.sparse, cfg.optim.sparse_lr, **kw)
     dense_factory = getattr(optax, cfg.optim.dense, None)
     if dense_factory is None:
         raise ValueError(f"unknown optax optimizer {cfg.optim.dense!r}")
@@ -68,12 +71,18 @@ def build_optimizers(cfg):
 def load_data(cfg):
     """Returns (schema, train_ids, train_labels, test_ids, test_labels)."""
     from .data import Schema, ipinyou_like_schema, synthetic
-    from .data.cache import cache_yx_file, read_cache
+    from .data.cache import cache_text_file, read_cache
 
     d = cfg.data
+    if d.format not in ("yx", "criteo"):
+        raise ValueError(f"unknown data format {d.format!r} (yx|criteo)")
     if d.schema_path:
         with open(d.schema_path) as f:
             schema = Schema.from_json(f.read())
+    elif d.format == "criteo":
+        from .data.criteo import criteo_schema
+
+        schema = criteo_schema(d.criteo_cat_buckets)
     else:
         schema = ipinyou_like_schema()
 
@@ -88,11 +97,19 @@ def load_data(cfg):
     def read(path):
         if d.use_cache:
             return read_cache(
-                cache_yx_file(path, schema, use_native=d.use_native_parser)
+                cache_text_file(path, schema, fmt=d.format,
+                                use_native=d.use_native_parser)
             )[:2]
-        from .data import parser
+        if d.format == "criteo":
+            from .data.criteo import parse_criteo_file
 
-        labels, ids = parser.parse_yx_file(path, schema)
+            labels, ids = parse_criteo_file(
+                path, schema, use_native=d.use_native_parser
+            )
+        else:
+            from .data import parser
+
+            labels, ids = parser.parse_yx_file(path, schema)
         return ids, labels
 
     tr_ids, tr_labels = read(d.train_path)

@@ -32,17 +32,24 @@ class ModelConfig:
 class OptimConfig:
     sparse: str = "adagrad"            # sgd | adagrad
     sparse_lr: float = 0.05
+    # adagrad execution strategy (optim/sparse.py): "dense" scatter-adds into
+    # a [V, D] scratch; "sorted" runs the vocab-independent segmented-scan
+    # path (Criteo-scale hash spaces); "auto" picks by table size
+    sparse_mode: str = "auto"          # auto | dense | sorted
+    eps: float = 1e-6                  # adagrad denominator epsilon
     dense: str = "adagrad"             # any optax alias: sgd | adagrad | adam
     dense_lr: float = 0.02
     l2: float = 0.0
-    eps: float = 1e-6
 
 
 @dataclasses.dataclass
 class DataConfig:
-    train_path: str | None = None      # yx text file (None -> synthetic)
+    format: str = "yx"                 # yx | criteo (raw TSV, hash trick)
+    train_path: str | None = None      # text file (None -> synthetic)
     test_path: str | None = None
-    schema_path: str | None = None     # Schema JSON (None -> ipinyou_like)
+    schema_path: str | None = None     # Schema JSON (None -> ipinyou_like,
+                                       # or criteo_schema for format=criteo)
+    criteo_cat_buckets: int = 1_000_000  # hash buckets per categorical column
     synthetic_examples: int = 200_000
     synthetic_seed: int = 0
     test_fraction: float = 0.15        # used when test_path is None

@@ -45,13 +45,19 @@ def read_cache(path: str) -> tuple[np.ndarray, np.ndarray, Schema]:
     return ids, labels, schema
 
 
-def cache_yx_file(
-    yx_path: str, schema: Schema, cache_path: str | None = None, use_native: bool = True
+def cache_text_file(
+    path: str,
+    schema: Schema,
+    cache_path: str | None = None,
+    fmt: str = "yx",
+    use_native: bool = True,
 ) -> str:
-    """Parse a yx file (native parser when available) and persist the cache."""
-    cache_path = cache_path or yx_path + ".cache.npz"
+    """Parse a text file (native parser when available) and persist the
+    cache.  ``fmt`` selects the parser: ``yx`` (the reference's one-hot
+    format) or ``criteo`` (raw TSV with the hash trick, data/criteo.py)."""
+    cache_path = cache_path or path + ".cache.npz"
     if os.path.exists(cache_path) and os.path.getmtime(cache_path) >= os.path.getmtime(
-        yx_path
+        path
     ):
         return cache_path
     labels = ids = None
@@ -59,12 +65,28 @@ def cache_yx_file(
         try:
             from . import native
 
-            labels, ids = native.parse_yx_file(yx_path, schema)
+            if fmt == "criteo":
+                labels, ids = native.parse_criteo_file(path, schema)
+            else:
+                labels, ids = native.parse_yx_file(path, schema)
         except Exception:
             pass
     if ids is None:
-        from . import parser
+        if fmt == "criteo":
+            from .criteo import parse_criteo_file
 
-        labels, ids = parser.parse_yx_file(yx_path, schema)
+            labels, ids = parse_criteo_file(path, schema, use_native=False)
+        else:
+            from . import parser
+
+            labels, ids = parser.parse_yx_file(path, schema)
     write_cache(cache_path, ids, labels, schema)
     return cache_path
+
+
+def cache_yx_file(
+    yx_path: str, schema: Schema, cache_path: str | None = None, use_native: bool = True
+) -> str:
+    """Back-compat alias: ``cache_text_file(..., fmt="yx")``."""
+    return cache_text_file(yx_path, schema, cache_path, fmt="yx",
+                           use_native=use_native)

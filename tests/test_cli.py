@@ -205,6 +205,79 @@ def test_cli_sharded_kill_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_array_equal(_ckpt_table(ck_a), _ckpt_table(ck_b))
 
 
+def test_cli_criteo_sharded_sorted_mode(tmp_path, monkeypatch):
+    """The Criteo stretch path end to end (BASELINE.json:11, shrunk): raw
+    Criteo TSV -> hash-trick schema -> sharded training with the
+    vocab-independent sorted Adagrad, which must (a) actually run and
+    (b) reproduce the dense-scratch trajectory."""
+    import deepctr_tpu.optim.sparse as sparse_mod
+
+    # write a small raw Criteo TSV
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "day0.tsv")
+    with open(path, "w") as f:
+        for i in range(3000):
+            label = int(rng.random() < 0.25)
+            ints = [str(int(rng.integers(0, 1000))) if rng.random() > 0.1 else ""
+                    for _ in range(13)]
+            cats = [f"{int(rng.integers(0, 500)):08x}" if rng.random() > 0.1 else ""
+                    for _ in range(26)]
+            f.write("\t".join([str(label)] + ints + cats) + "\n")
+
+    base = [
+        "model.name=fnn", "model.k=3", "model.hidden=16", "model.dropout=0.0",
+        "data.format=criteo", "data.criteo_cat_buckets=2000",
+        f"data.train_path={path}",
+        "train.batch_size=256", "train.epochs=2", "train.sharded=true",
+        "train.capacity_factor=8.0", "train.prefetch=false",
+        "train.split_threshold=100",  # cat fields -> big class (real scatter)
+    ]
+    calls = {"n": 0}
+    orig = sparse_mod.dedupe_grads
+
+    def spy(ids, rows):
+        calls["n"] += 1
+        return orig(ids, rows)
+
+    monkeypatch.setattr(sparse_mod, "dedupe_grads", spy)
+
+    ck_sorted = str(tmp_path / "sorted.npz")
+    res = run(RunConfig().apply_overrides(
+        base + ["optim.sparse_mode=sorted",
+                f"train.checkpoint_path={ck_sorted}"]
+    ))
+    assert np.isfinite(res["best_auc"])
+    assert calls["n"] > 0, "sorted (segmented-scan) path never ran"
+
+    ck_dense = str(tmp_path / "dense.npz")
+    run(RunConfig().apply_overrides(
+        base + ["optim.sparse_mode=dense", f"train.checkpoint_path={ck_dense}"]
+    ))
+    np.testing.assert_allclose(
+        _ckpt_table(ck_sorted), _ckpt_table(ck_dense), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_cli_criteo_stretch_config_runs_shrunk(tmp_path):
+    """The bundled stretch config itself (shrunk overrides) must drive the
+    criteo+sharded+sorted+scan path end to end."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
+    cfg = RunConfig.load(os.path.join(root, "criteo_sharded_stretch.json"))
+    assert cfg.data.format == "criteo"
+    assert cfg.optim.sparse_mode == "sorted"
+    assert cfg.train.sharded
+    cfg = cfg.apply_overrides([
+        "model.k=3", "model.hidden=16", "model.dropout=0.0",
+        "data.criteo_cat_buckets=500", "data.synthetic_examples=2000",
+        "train.batch_size=256", "train.epochs=1", "train.scan_steps=2",
+        "train.capacity_factor=8.0", "train.prefetch=false",
+    ])
+    res = run(cfg)
+    assert np.isfinite(res["best_auc"])
+
+
 def test_cli_print_config(capsys):
     assert main(["--print-config", "model.name=lr"]) == 0
     out = capsys.readouterr().out
