@@ -74,14 +74,9 @@ class DeepFMModel:
 
             drop = self.mlp.dropout if train else 0.0
             if drop > 0.0:
-                # in-kernel dropout is DISABLED pending a seed-plumbing bug
-                # seen on TPU (different seeds produced identical masks in
-                # the fused kernel; see tests/test_pallas.py TPU-only test);
-                # route through the jnp dropout path instead
-                deep_part = apply_mlp(dense["mlp"], flat, self.mlp,
-                                      train=train, rng=rng)
-            elif drop > 0.0:
-                seed = jax.random.randint(rng, (), 0, 2**31 - 1).astype(
+                # in-kernel counter-based dropout, seeded from the step rng
+                # (bounded to 2^24 so the f32 seed carrier is exact)
+                seed = jax.random.randint(rng, (), 0, 1 << 24).astype(
                     jnp.float32
                 )
                 deep_part = mlp_tower(dense["mlp"], flat, self.mlp.activation,

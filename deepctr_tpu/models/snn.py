@@ -38,7 +38,7 @@ class SNNModel:
     hidden1: int = 200
     mlp: MlpSpec = MlpSpec(hidden=(300, 100), activation="tanh", dropout=0.5)
     init_sigma: float = 0.01
-    use_pallas: bool = False  # fused tower kernel when dropout is inactive
+    use_pallas: bool = False  # fused tower kernel (incl. in-kernel dropout)
     name: str = "snn"
 
     def table_shape(self, schema: Schema) -> tuple[int, int]:
@@ -64,14 +64,9 @@ class SNNModel:
 
             drop = self.mlp.dropout if train else 0.0
             if drop > 0.0:
-                # in-kernel dropout is DISABLED pending a seed-plumbing bug
-                # seen on TPU (different seeds produced identical masks in
-                # the fused kernel; see tests/test_pallas.py TPU-only test);
-                # route through the jnp dropout path instead
-                return apply_mlp(dense["mlp"], h, self.mlp, train=train,
-                                 rng=rng)
-            if drop > 0.0:
-                seed = jax.random.randint(rng, (), 0, 2**31 - 1).astype(
+                # in-kernel counter-based dropout, seeded from the step rng
+                # (bounded to 2^24 so the f32 seed carrier is exact)
+                seed = jax.random.randint(rng, (), 0, 1 << 24).astype(
                     jnp.float32
                 )
                 return mlp_tower(dense["mlp"], h, self.mlp.activation,

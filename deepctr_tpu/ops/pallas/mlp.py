@@ -11,9 +11,17 @@ Exactness under padding: all dims are zero-padded up to lane multiples of
 padded activation columns stay exactly 0 through the chain, so results
 equal the unpadded math bit-for-bit (up to normal f32 reassociation).
 
-Backward: rematerialised standard jnp backprop (XLA-fused); the forward
-kernel is the HBM win and inference fast path.  ``interpret=None``
+Backward: a fused Pallas kernel as well (``_tower_bwd`` below) — each batch
+tile rematerialises the forward chain in VMEM (activations never touch HBM)
+and backprops through it, accumulating weight/bias gradients across the
+sequential grid; wired up via ``jax.custom_vjp``.  ``interpret=None``
 auto-selects interpreter mode off-TPU.
+
+In-kernel dropout: masks are a counter-based hash of (seed, layer, global
+row, column) — see ``_dropout_mask`` for why the stateful ``pltpu.prng_*``
+path was abandoned (two distinct bugs on this toolchain).  The seed rides
+as a scalar-prefetch argument; forward and backward compute bit-identical
+masks by construction.
 """
 
 from __future__ import annotations
@@ -56,32 +64,58 @@ def _apply_act(activation: str, h: jax.Array) -> jax.Array:
     raise ValueError(activation)
 
 
-def _dropout_mask(shape, keep_prob: float) -> jax.Array:
-    """In-kernel dropout mask from the per-core PRNG (already seeded).
+def _dropout_mask(shape, keep_prob: float, seed, layer: int,
+                  row_offset) -> jax.Array:
+    """Counter-based (stateless) dropout mask: hash(seed, layer, row, col).
 
-    Draw order is deterministic given the seed, so the backward kernel
-    regenerates identical masks by re-seeding identically.
+    Two hard-won lessons from round 1/2 drove this design (see
+    tests/test_pallas.py::test_mlp_tower_in_kernel_dropout):
 
-    KNOWN ISSUE (see tests/test_pallas.py xfail): on the current Mosaic
-    toolchain the seed is ignored inside the multi-layer tower kernel
-    (identical masks across seeds) even though minimal kernels with the
-    same scalar-prefetch seeding honour it.  The models therefore route
-    dropout through the jnp path until this is resolved; the kernel remains
-    correct in interpreter-mode semantics.
+    1. ``pltpu.prng_random_bits`` returns **int32** in this JAX version;
+       comparing those signed bits against a uint32 threshold is a signed
+       compare that keeps ~every lattice point — an all-ones,
+       seed-independent "mask".
+    2. Even with that fixed, the stateful per-core PRNG draw → element
+       assignment is a compiler layout decision: the fused backward kernel
+       re-seeding identically and redrawing in the same order does NOT
+       reproduce the forward kernel's masks once Mosaic schedules the two
+       kernels differently (measured: ~75% element overlap, gradients off
+       by up to 4x vs finite differences).
+
+    A murmur3-finalizer hash of the (global row, column, seed, layer)
+    counter is layout-independent — forward and backward regenerate
+    bit-identical masks by construction — and pure integer VPU ops, so it
+    also lowers in interpreter mode on CPU (no pltpu.prng needed).
     """
-    bits = pltpu.prng_random_bits(shape)  # uint32
+    r = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_offset).astype(
+        jnp.uint32
+    )
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.uint32)
+    x = (
+        r * jnp.uint32(0x9E3779B9)
+        + c * jnp.uint32(0x85EBCA6B)
+        + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+        + jnp.uint32((layer + 1) * 0x27D4EB2F)
+    )
+    # murmur3 fmix32: full avalanche, so consecutive counters decorrelate
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
     threshold = jnp.uint32(int(keep_prob * 0xFFFFFFFF))
-    return (bits < threshold).astype(jnp.float32) / keep_prob
+    return (x < threshold).astype(jnp.float32) / keep_prob
 
 
-def _make_kernel(num_layers: int, activation: str, dropout: float = 0.0):
+def _make_kernel(num_layers: int, activation: str, dropout: float = 0.0,
+                 tile: int = 0):
     has_drop = dropout > 0.0
 
     def kernel(*refs):
         if has_drop:
             seed_ref = refs[0]  # scalar-prefetch: int32[1]
             refs = refs[1:]
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            row0 = pl.program_id(0) * tile
         x_ref = refs[0]
         out_ref = refs[-1]
         h = x_ref[:]
@@ -98,7 +132,8 @@ def _make_kernel(num_layers: int, activation: str, dropout: float = 0.0):
             if i < num_layers - 1:
                 h = _apply_act(activation, h)
                 if has_drop:
-                    h = h * _dropout_mask(h.shape, 1.0 - dropout)
+                    h = h * _dropout_mask(h.shape, 1.0 - dropout,
+                                          seed_ref[0], i, row0)
         out_ref[:] = h
 
     return kernel
@@ -153,7 +188,7 @@ def _tower_fwd(x_pad, flat_params, activation, interpret, tile, dropout=0.0,
                                 out_specs=out_spec)
         seed_arg = ()
     out = pl.pallas_call(
-        _make_kernel(num_layers, activation, dropout),
+        _make_kernel(num_layers, activation, dropout, tile),
         out_shape=jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -174,9 +209,9 @@ def mlp_tower_fused(
 ) -> jax.Array:
     """Fused forward through ``{"layers": [{"w", "b"}, ...]}`` -> [B] logits.
 
-    ``dropout > 0`` enables in-kernel dropout via the TPU per-core PRNG
-    (pltpu.prng_*); masks are a deterministic function of ``seed`` and the
-    grid position, so the fused backward regenerates them exactly.
+    ``dropout > 0`` enables in-kernel dropout; masks are a stateless
+    counter-based hash of ``(seed, layer, row, col)``, so the fused
+    backward regenerates them bit-exactly (and interpreter mode works).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -213,7 +248,8 @@ def _act_deriv(activation: str, a: jax.Array) -> jax.Array:
     raise ValueError(activation)
 
 
-def _make_bwd_kernel(num_layers: int, activation: str, dropout: float = 0.0):
+def _make_bwd_kernel(num_layers: int, activation: str, dropout: float = 0.0,
+                     tile: int = 0):
     has_drop = dropout > 0.0
 
     def kernel(*refs):
@@ -221,8 +257,9 @@ def _make_bwd_kernel(num_layers: int, activation: str, dropout: float = 0.0):
         if has_drop:
             seed_ref = refs[0]  # scalar-prefetch: int32[1]
             refs = refs[1:]
-            # identical seeding to the forward kernel -> identical masks
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            # counter-based masks: same (seed, layer, row, col) counters as
+            # the forward kernel -> bit-identical masks by construction
+            row0 = pl.program_id(0) * tile
         x_ref = refs[0]
         g_ref = refs[1 + 2 * num_layers]
         out_base = 2 + 2 * num_layers
@@ -243,7 +280,8 @@ def _make_bwd_kernel(num_layers: int, activation: str, dropout: float = 0.0):
                 h = _apply_act(activation, h)
                 a_pre = h
                 if has_drop:
-                    mask = _dropout_mask(h.shape, 1.0 - dropout)
+                    mask = _dropout_mask(h.shape, 1.0 - dropout,
+                                         seed_ref[0], i, row0)
                     h = h * mask
             else:
                 a_pre = h
@@ -294,29 +332,33 @@ def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile,
     B, P0 = x_pad.shape
     num_layers = len(flat_params) // 2
     grid = (B // tile,)
-    in_specs = []
-    pre_args = []
+    # with scalar prefetch, index maps receive the scalar ref as a leading
+    # argument — same arity handling as _tower_fwd
     if dropout > 0.0:
-        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                     memory_space=pltpu.SMEM))
-        pre_args.append(jnp.asarray(seed, jnp.float32).astype(jnp.int32)
-                    .reshape(1, 1))
-    in_specs.append(
-        pl.BlockSpec((tile, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    )
+        tile_map = lambda i, s_: (i, 0)      # noqa: E731
+        const_map = lambda i, s_: (0, 0)     # noqa: E731
+        pre_args = (jnp.asarray(seed, jnp.float32).astype(jnp.int32)
+                    .reshape(1),)
+    else:
+        tile_map = lambda i: (i, 0)          # noqa: E731
+        const_map = lambda i: (0, 0)         # noqa: E731
+        pre_args = ()
+    in_specs = [
+        pl.BlockSpec((tile, P0), tile_map, memory_space=pltpu.VMEM)
+    ]
     for p in flat_params:
-        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec(p.shape, const_map,
                                      memory_space=pltpu.VMEM))
     out_dim = flat_params[-1].shape[-1]
     in_specs.append(
-        pl.BlockSpec((tile, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tile, out_dim), tile_map, memory_space=pltpu.VMEM)
     )
     out_shapes = [jax.ShapeDtypeStruct((B, P0), jnp.float32)]
-    out_specs = [pl.BlockSpec((tile, P0), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((tile, P0), tile_map,
                               memory_space=pltpu.VMEM)]
     for p in flat_params:
         out_shapes.append(jax.ShapeDtypeStruct(p.shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+        out_specs.append(pl.BlockSpec(p.shape, const_map,
                                       memory_space=pltpu.VMEM))
     if dropout > 0.0:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -327,7 +369,7 @@ def _tower_bwd(x_pad, flat_params, g2d, activation, interpret, tile,
         grid_spec = pl.GridSpec(grid=grid, in_specs=in_specs,
                                 out_specs=tuple(out_specs))
     outs = pl.pallas_call(
-        _make_bwd_kernel(num_layers, activation, dropout),
+        _make_bwd_kernel(num_layers, activation, dropout, tile),
         out_shape=tuple(out_shapes),
         grid_spec=grid_spec,
         interpret=interpret,

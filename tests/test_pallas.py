@@ -88,21 +88,38 @@ def test_fm_score_odd_batch_sizes():
 import pytest
 
 
-@pytest.mark.skipif(
-    jax.default_backend() != "tpu",
-    reason="pltpu.prng_* has no CPU interpreter lowering in this JAX version",
-)
-@pytest.mark.xfail(
-    reason="KNOWN ISSUE: in the multi-layer tower kernel the PRNG seed is "
-    "ignored on TPU (identical masks for different seeds), although a "
-    "structurally identical minimal kernel honours it — suspected Mosaic "
-    "constant-folding of prng_random_bits in this pattern. Models route "
-    "dropout through the jnp path until resolved.",
-    strict=False,
-)
+def _host_counter_mask(shape, keep, seed, layer, row0=0):
+    """jnp reimplementation of ops/pallas/mlp._dropout_mask (the oracle)."""
+    r = jnp.arange(shape[0], dtype=jnp.uint32)[:, None] + jnp.uint32(row0)
+    c = jnp.arange(shape[1], dtype=jnp.uint32)[None, :]
+    h = (
+        r * jnp.uint32(0x9E3779B9)
+        + c * jnp.uint32(0x85EBCA6B)
+        + jnp.uint32(seed) * jnp.uint32(0xC2B2AE35)
+        + jnp.uint32((layer + 1) * 0x27D4EB2F)
+    )
+    h = h ^ (h >> jnp.uint32(16)); h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(15)); h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> jnp.uint32(16))
+    thr = jnp.uint32(int(keep * 0xFFFFFFFF))
+    return (h < thr).astype(jnp.float32) / keep
+
+
 def test_mlp_tower_in_kernel_dropout():
-    """In-kernel dropout: deterministic per seed, ~unbiased, grads consistent
-    with the regenerated masks (finite differences, same seed)."""
+    """In-kernel dropout: deterministic per seed, unbiased keep-rate, fwd and
+    grads EXACTLY matching a jnp oracle that applies the same counter-based
+    masks.
+
+    History (both bugs found on the real chip, see ops/pallas/mlp.py):
+    round 1's pltpu.prng path (a) compared int32 random bits against a
+    uint32 threshold — a signed compare keeping ~everything, and (b) even
+    fixed, the stateful PRNG's draw->element layout differed between the
+    fused fwd and bwd kernels, so "re-seed and redraw" gave ~75%-overlap
+    masks and gradients off by up to 4x.  The counter-based hash mask is
+    layout-independent and pure-jnp-expressible, which is what makes this
+    exact oracle test possible (and lets it run in CPU interpret mode)."""
+    from deepctr_tpu.ops.pallas.mlp import _pad_params
+
     rng = jax.random.PRNGKey(7)
     spec = MlpSpec(hidden=(64, 32), activation="tanh", dropout=0.0)
     mlp = init_mlp(rng, 48, spec)
@@ -114,29 +131,54 @@ def test_mlp_tower_in_kernel_dropout():
     out_c = mlp_tower(mlp, x, "tanh", None, 0.5, 4.0)
     assert np.abs(np.asarray(out_a) - np.asarray(out_c)).max() > 1e-6
 
-    # expectation over seeds approximates the no-dropout forward
-    no_drop = np.asarray(mlp_tower(mlp, x, "tanh"))
-    acc = np.zeros_like(no_drop)
-    n_seeds = 16  # each eval costs a full host-fetch RTT through the tunnel
+    # keep-rate on a rigged tower that exposes the first-layer mask:
+    # W1 = 0, b1 = atanh(0.5) -> every hidden activation is exactly 0.5;
+    # W2 = ones, b2 = 0 -> logit_j = (0.5/keep) * (#kept units of row j);
+    # mean_logit = (0.5/keep) * h1 * keep_hat.  128*64 draws x 8 seeds pins
+    # keep_hat to ~+-1% at 3 sigma.
+    h1 = 64
+    rig = {
+        "layers": [
+            {"w": jnp.zeros((48, h1)), "b": jnp.full((h1,), np.arctanh(0.5))},
+            {"w": jnp.ones((h1, 1)), "b": jnp.zeros((1,))},
+        ]
+    }
+    keep = 0.5
+    tot, n_seeds = 0.0, 8
     for s in range(n_seeds):
-        acc += np.asarray(mlp_tower(mlp, x, "tanh", None, 0.5, float(s)))
-    mean = acc / n_seeds
-    corr = np.corrcoef(mean, no_drop)[0, 1]
-    assert corr > 0.9, corr
+        logits = np.asarray(mlp_tower(rig, x, "tanh", None, 1 - keep, 100.0 + s))
+        tot += logits.mean()
+    keep_rate = (tot / n_seeds) * keep / (0.5 * h1)
+    assert abs(keep_rate - keep) < 0.015, keep_rate
 
-    # gradient check: same seed in f(.) means masks are fixed -> finite
-    # differences through a weight must match the custom-vjp gradient
+    # exact oracle: same masks in pure jnp on the padded dims.  (A naive
+    # finite-difference check is unsound here: matmuls run at default MXU
+    # precision, where a 1e-3 weight perturbation is ~1 bf16 ulp.)
+    SEED, DROP = 11, 0.5
+    padded, dims, pdims = _pad_params(mlp["layers"], 48)
+    x_pad = jnp.pad(x, ((0, 0), (0, pdims[0] - 48)))
+    masks = [
+        _host_counter_mask((128, pdims[i + 1]), 1 - DROP, SEED, i)
+        for i in range(len(padded) - 1)
+    ]
+
+    def oracle(m):
+        pl_, _, _ = _pad_params(m["layers"], 48)
+        h = x_pad
+        for i, (W, b) in enumerate(pl_):
+            h = h @ W + b
+            if i < len(pl_) - 1:
+                h = jnp.tanh(h) * masks[i]
+        return (h[:, 0] ** 2).sum()
+
     def loss(m):
-        return (mlp_tower(m, x, "tanh", None, 0.5, 11.0) ** 2).sum()
+        return (mlp_tower(m, x, "tanh", None, DROP, float(SEED)) ** 2).sum()
 
-    g = jax.grad(loss)(mlp)
-    w0 = mlp["layers"][0]["w"]
-    eps = 1e-3
-    idx = (3, 5)
-    mp = jax.tree_util.tree_map(lambda a: a, mlp)
-    mp["layers"][0]["w"] = w0.at[idx].add(eps)
-    mm = jax.tree_util.tree_map(lambda a: a, mlp)
-    mm["layers"][0]["w"] = w0.at[idx].add(-eps)
-    fd = (loss(mp) - loss(mm)) / (2 * eps)
-    got = float(g["layers"][0]["w"][idx])
-    np.testing.assert_allclose(got, float(fd), rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(float(loss(mlp)), float(oracle(mlp)),
+                               rtol=1e-5)
+    gk = jax.grad(loss)(mlp)
+    go = jax.grad(oracle)(mlp)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(go)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

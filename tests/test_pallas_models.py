@@ -37,9 +37,11 @@ def test_snn_use_pallas_matches(tiny_schema, tiny_dataset):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
-def test_fnn_use_pallas_dropout_falls_back(tiny_schema, tiny_dataset):
-    """With dropout active in train mode, the flag must route to the jnp
-    path (the kernel has no dropout) — train step must still run."""
+def test_fnn_use_pallas_dropout_trains(tiny_schema, tiny_dataset):
+    """With dropout active in train mode, the flag routes through the fused
+    kernel's in-kernel counter-based dropout — the full train step (fwd +
+    fused custom-VJP bwd + sparse update) must run, reduce the loss, and be
+    deterministic given the state rng."""
     import optax
 
     from deepctr_tpu.optim import SparseAdagrad
@@ -52,5 +54,17 @@ def test_fnn_use_pallas_dropout_falls_back(tiny_schema, tiny_dataset):
     step = make_train_step(model, tiny_schema, sopt, dopt, jit=False)
     ids = tiny_dataset.ids[:64]
     y = tiny_dataset.labels[:64]
-    st2, m = step(st, ids, y, np.ones(64, np.float32))
-    assert np.isfinite(float(m.loss))
+    w = np.ones(64, np.float32)
+    losses = []
+    st_a = st
+    for _ in range(8):
+        st_a, m = step(st_a, ids, y, w)
+        losses.append(float(m.loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # same initial state -> identical trajectory (mask = f(rng), no hidden
+    # PRNG state)
+    st_b = st
+    for i in range(3):
+        st_b, m2 = step(st_b, ids, y, w)
+        assert float(m2.loss) == losses[i]
