@@ -13,5 +13,14 @@ dense NumPy math), not the TPU design, so comparisons are meaningful.
 """
 
 from .numpy_ref import NumpyFM, NumpyFNN, NumpyLR, train_numpy_model
+from .numpy_snn import NumpyDae, NumpyRbm, NumpySnn
 
-__all__ = ["NumpyFM", "NumpyFNN", "NumpyLR", "train_numpy_model"]
+__all__ = [
+    "NumpyDae",
+    "NumpyFM",
+    "NumpyFNN",
+    "NumpyLR",
+    "NumpyRbm",
+    "NumpySnn",
+    "train_numpy_model",
+]

@@ -81,6 +81,57 @@ def test_fnn_trajectory_matches_numpy(tiny_schema, tiny_dataset):
         np.testing.assert_allclose(np.asarray(layer["b"]), b, rtol=3e-4, atol=1e-5)
 
 
+def test_snn_supervised_trajectory_matches_numpy(tiny_schema, tiny_dataset):
+    """SNN fine-tune phase (C7/C8 supervised step): same init, same batches,
+    same SGD -> same table, b1 and MLP parameters as the NumPy oracle."""
+    from deepctr_tpu.models import SNNModel
+    from deepctr_tpu.reference_impl import NumpySnn
+
+    lr, h1, hidden = 0.05, 12, (16, 8)
+    ref = NumpySnn(tiny_schema, hidden1=h1, hidden=hidden, lr=lr, seed=13)
+    model = SNNModel(hidden1=h1, mlp=MlpSpec(hidden=hidden, dropout=0.0))
+    st = init_state(model, tiny_schema, SparseSgd(lr), optax.sgd(lr), seed=0)
+    # overwrite jax init with the numpy init (copies: the oracle mutates
+    # its arrays in place)
+    st = st._replace(table=jnp.asarray(ref.table.copy()))
+    layers = [
+        {"w": jnp.asarray(W.copy()), "b": jnp.asarray(b.copy())}
+        for W, b in ref.layers
+    ]
+    dense = {"b1": jnp.asarray(ref.b1.copy()), "mlp": {"layers": layers}}
+    dopt = optax.sgd(lr)
+    st = st._replace(dense=dense, dense_state=dopt.init(dense))
+    step = make_train_step(model, tiny_schema, SparseSgd(lr), dopt, jit=False)
+    B = 128
+    for ids, y in _batches(tiny_dataset, B, 5):
+        ref.train_batch(ids, y)
+        st, _ = step(st, ids, y, np.ones(B, np.float32))
+    np.testing.assert_allclose(np.asarray(st.table), ref.table, rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.dense["b1"]), ref.b1, rtol=3e-4, atol=1e-5)
+    for (W, b), layer in zip(ref.layers, st.dense["mlp"]["layers"]):
+        np.testing.assert_allclose(np.asarray(layer["w"]), W, rtol=3e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(layer["b"]), b, rtol=3e-4, atol=1e-5)
+
+
+def test_numpy_pretrainers_reduce_loss(tiny_schema, tiny_dataset):
+    """Oracle sanity: the NumPy DAE/RBM pretraining losses go down (the same
+    gate the JAX pretrainers pass in test_pretrain.py)."""
+    from deepctr_tpu.reference_impl import NumpyDae, NumpyRbm
+
+    ids = tiny_dataset.ids[:2048]
+    for cls in (NumpyDae, NumpyRbm):
+        pre = cls(tiny_schema, hidden1=12, m=2, lr=0.1, seed=3)
+        first, last = [], []
+        for ep in range(3):
+            losses = [
+                pre.train_batch(ids[i : i + 256]) for i in range(0, 2048, 256)
+            ]
+            if ep == 0:
+                first = losses
+            last = losses
+        assert np.mean(last) < np.mean(first), (cls.__name__, first, last)
+
+
 def test_auc_parity_with_reference_reproduction(small_dataset):
     """Outcome-level: our FM and the NumPy reference FM reach the same AUC
     (±0.005 — tighter than the ±0.002 target requires many seeds; this is

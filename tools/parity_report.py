@@ -23,10 +23,26 @@ def run(seeds: int, examples: int, out_path: str) -> None:
     import optax
 
     from deepctr_tpu.data import ipinyou_like_schema, synthetic
-    from deepctr_tpu.models import FMModel, LRModel, MlpSpec, make_fnn
+    from deepctr_tpu.models import (
+        DaePretrainer,
+        FMModel,
+        LRModel,
+        MlpSpec,
+        RbmPretrainer,
+        SNNModel,
+        make_fnn,
+    )
     from deepctr_tpu.optim import SparseSgd
-    from deepctr_tpu.reference_impl import NumpyFM, NumpyFNN, NumpyLR, train_numpy_model
-    from deepctr_tpu.train import fit
+    from deepctr_tpu.reference_impl import (
+        NumpyDae,
+        NumpyFM,
+        NumpyFNN,
+        NumpyLR,
+        NumpyRbm,
+        NumpySnn,
+        train_numpy_model,
+    )
+    from deepctr_tpu.train import fit, pretrain_snn
     from deepctr_tpu.utils.metrics import exact_auc, logloss
 
     schema = ipinyou_like_schema()
@@ -42,8 +58,10 @@ def run(seeds: int, examples: int, out_path: str) -> None:
     # (AUC ~0.74 against a 0.81 Bayes ceiling); parity at near-chance
     # AUC would be vacuous
     lr_, k, B, epochs = 0.3, 10, 512, 8
+    # SNN geometry/pretraining knobs (paper-shaped; SURVEY.md §2.3 SNN row)
+    h1, snn_hidden, pre_lr, pre_epochs, pre_m = 200, (300, 100), 0.1, 2, 2
     rows = []
-    for name in ("lr", "fm", "fnn"):
+    for name in ("lr", "fm", "fnn", "snn_dae", "snn_rbm"):
         ours_auc, ours_ll, ref_auc, ref_ll = [], [], [], []
         for seed in range(seeds):
             # ---- reference reproduction
@@ -51,6 +69,16 @@ def run(seeds: int, examples: int, out_path: str) -> None:
                 ref = NumpyLR(schema, lr=lr_, seed=seed)
             elif name == "fm":
                 ref = NumpyFM(schema, k=k, lr=lr_, seed=seed)
+            elif name in ("snn_dae", "snn_rbm"):
+                pre_cls = NumpyDae if name == "snn_dae" else NumpyRbm
+                pre = pre_cls(schema, hidden1=h1, m=pre_m, lr=pre_lr, seed=seed)
+                nb = (tr.stop // B) * B
+                for ep in range(pre_epochs):
+                    order = np.random.default_rng(seed + ep).permutation(tr.stop)
+                    for s in range(0, nb, B):
+                        pre.train_batch(ds.ids[order[s : s + B]])
+                ref = NumpySnn(schema, hidden1=h1, hidden=snn_hidden, lr=lr_,
+                               seed=seed, table=pre.table, b1=pre.b1)
             else:
                 fm0 = NumpyFM(schema, k=k, lr=lr_, seed=seed)
                 train_numpy_model(
@@ -74,6 +102,30 @@ def run(seeds: int, examples: int, out_path: str) -> None:
             elif name == "fm":
                 model = FMModel(k=k)
                 state = None
+            elif name in ("snn_dae", "snn_rbm"):
+                import jax
+
+                from deepctr_tpu.train import init_state
+                from deepctr_tpu.utils.checkpoint import init_snn_from_pretrain
+
+                pretrainer = (
+                    DaePretrainer(m=pre_m) if name == "snn_dae"
+                    else RbmPretrainer(m=pre_m)
+                )
+                table, b1 = pretrain_snn(
+                    pretrainer, schema, h1, ds.ids[tr],
+                    sparse_opt=SparseSgd(pre_lr), dense_lr=pre_lr,
+                    batch_size=B, epochs=pre_epochs, seed=seed,
+                )
+                model = SNNModel(hidden1=h1,
+                                 mlp=MlpSpec(hidden=snn_hidden, dropout=0.0))
+                state = init_state(model, schema, SparseSgd(lr_),
+                                   optax.sgd(lr_), seed=seed)
+                params = init_snn_from_pretrain(
+                    {"table": state.table, "dense": state.dense}, table, b1
+                )
+                state = state._replace(table=params["table"],
+                                       dense=params["dense"])
             else:
                 import jax
 
@@ -122,7 +174,12 @@ def run(seeds: int, examples: int, out_path: str) -> None:
             f"oracle is the NumPy-faithful reproduction of the reference's "
             f"training procedure (deepctr_tpu/reference_impl). Synthetic "
             f"iPinYou-shaped data, {examples} examples, {seeds} seeds, "
-            f"{epochs} epochs, SGD. Bayes-ceiling AUC of the planted model: "
+            f"{epochs} epochs, SGD. SNN rows: {pre_epochs} epochs of "
+            f"DAE/RBM pretraining (m={pre_m}, lr={pre_lr}, hidden1={h1}) "
+            f"then supervised fine-tune — pretraining RNG streams are "
+            f"host-NumPy on the reference side and jax.random on ours, so "
+            f"SNN parity is outcome-level by construction. "
+            f"Bayes-ceiling AUC of the planted model: "
             f"{bayes_auc:.4f}. Target band: |Δ AUC| ≤ 0.002 "
             f"(BASELINE.json:5).\n\n"
         )
