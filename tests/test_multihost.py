@@ -1,0 +1,23 @@
+"""Multi-host DCN simulation (SURVEY.md §2.4 comm row): two OS processes
+joined via jax.distributed.initialize form one 8-device global mesh; the
+sharded trajectory must equal a single-process run.  The heavy lifting is
+tools/multihost_sim.py — this test drives it end to end."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_dcn_trajectory_matches_single_process():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO  # no axon sitecustomize in the launcher either
+    env.pop("XLA_FLAGS", None)  # launcher/workers set their own device count
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multihost_sim.py")],
+        env=env, capture_output=True, text=True, timeout=520,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MULTIHOST SIM OK" in out.stdout, out.stdout + out.stderr
