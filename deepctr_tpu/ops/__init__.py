@@ -5,15 +5,10 @@ here, selected via config flag; tests assert bit-level (or tolerance-level)
 agreement between the two (SURVEY.md §4).
 """
 
-from .embedding import embedding_bag, field_concat, gather_rows, slot_mask
 from .interaction import fm_interaction, fm_interaction_bruteforce
 from .scatter import dedupe_grads, scatter_add_dedup, segment_sum_dense
 
 __all__ = [
-    "embedding_bag",
-    "field_concat",
-    "gather_rows",
-    "slot_mask",
     "fm_interaction",
     "fm_interaction_bruteforce",
     "dedupe_grads",

@@ -61,20 +61,28 @@ def _segmented_inclusive_sum(starts: jax.Array, values: jax.Array) -> jax.Array:
     return out
 
 
-def dedupe_grads(ids: jax.Array, rows: jax.Array) -> DedupedGrads:
+def dedupe_grads(
+    ids: jax.Array, rows: jax.Array, ids_sorted: bool = False
+) -> DedupedGrads:
     """Combine duplicate-id gradient rows.
 
     ids:  int32[M] (may contain duplicates and pad ids).
     rows: f32[M, D] per-occurrence gradients.
+    ids_sorted: pass True when ``ids`` is already ascending (e.g. the output
+        of ``gather_big_rows_sorted``) to skip re-sorting — the forward
+        already paid for the sort.
 
     Returns sorted ids with each distinct id's summed gradient on its last
     occurrence.  Scattering ``rows`` with ``.at[ids].add`` afterwards adds
     each distinct id's total exactly once (other occurrences add zeros), so
     optimizer math can treat last-occurrence rows as the unique row set.
     """
-    order = jnp.argsort(ids)
-    sid = ids[order]
-    srows = rows[order]
+    if ids_sorted:
+        sid, srows = ids, rows
+    else:
+        order = jnp.argsort(ids)
+        sid = ids[order]
+        srows = rows[order]
     starts = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
     summed = _segmented_inclusive_sum(starts, srows)
     is_last = jnp.concatenate([sid[1:] != sid[:-1], jnp.ones((1,), bool)])

@@ -41,6 +41,13 @@ from ..data.schema import Schema
 # Measured crossover on v5e: a slot costs ~0.5ms via XLA scatter regardless of
 # vocab, vs ~vocab*28ns via padded MXU matmul -> breakeven near 16k; 8192 is a
 # conservative default that keeps the one-hot temporaries modest.
+#
+# MEMORY: each small slot materialises a [B, L, vocab] f32 one-hot temporary
+# (usually fused into the matmul by XLA, but budget for it): at batch 8192 a
+# vocab-8192 single-slot field is ~256 MB.  iPinYou-shaped schemas (small
+# vocabs <= 7k spread over many fields) are safe; for schemas with several
+# near-threshold fields lower ``threshold`` (CLI: ``train.split_threshold``)
+# so that ``batch * max_len * vocab * 4`` stays within your HBM headroom.
 DEFAULT_THRESHOLD = 8192
 
 
@@ -60,7 +67,6 @@ class SplitPlan:
     small: tuple[SmallField, ...]
     big_slots: tuple[int, ...]    # packed slot indices using take+scatter
     num_slots: int
-    dim_hint: int = 0             # unused; kept for forward compat
 
     @property
     def has_small(self) -> bool:

@@ -134,7 +134,7 @@ class SparseAdagrad:
             acc = state.acc + g * g
             new_table = table - lr * g / (jnp.sqrt(acc) + self.eps)
         else:
-            d = dedupe_grads(ids, rows)
+            d = dedupe_grads(ids, rows, ids_sorted=ids_sorted)
             g2 = d.rows * d.rows
             acc = state.acc.at[d.ids].add(g2, indices_are_sorted=True)
             denom = jnp.sqrt(acc[d.ids]) + self.eps

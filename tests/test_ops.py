@@ -1,5 +1,5 @@
 """Math-op unit tests (SURVEY.md §4: FM identity vs brute force, dedupe
-scatter vs dense segment-sum oracle, embedding bag vs naive)."""
+scatter vs dense segment-sum oracle)."""
 
 import jax
 import jax.numpy as jnp
@@ -7,8 +7,6 @@ import numpy as np
 
 from deepctr_tpu.ops import (
     dedupe_grads,
-    embedding_bag,
-    field_concat,
     fm_interaction,
     fm_interaction_bruteforce,
     scatter_add_dedup,
@@ -68,19 +66,14 @@ def test_dedupe_all_same_id():
     np.testing.assert_allclose(np.asarray(d.rows).sum(axis=0), [4, 4, 4])
 
 
-def test_embedding_bag_and_field_concat():
+def test_dedupe_grads_sorted_hint_matches_unsorted():
     rng = np.random.default_rng(4)
-    V, D = 11, 3
-    pad = V - 1
-    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
-    table = table.at[pad].set(0.0)
-    ids = jnp.asarray([[0, 2, pad], [5, pad, pad]], jnp.int32)
-    bag = embedding_bag(table, ids, pad)
-    np.testing.assert_allclose(bag[0], table[0] + table[2], rtol=1e-6)
-    np.testing.assert_allclose(bag[1], table[5], rtol=1e-6)
-
-    slot_field = jnp.asarray([0, 1, 1], jnp.int32)
-    fc = field_concat(table, ids, pad, slot_field, 2)
-    assert fc.shape == (2, 2 * D)
-    np.testing.assert_allclose(fc[0, :D], table[0], rtol=1e-6)
-    np.testing.assert_allclose(fc[0, D:], table[2], rtol=1e-6)
+    M, D, V = 48, 5, 12
+    ids = np.sort(rng.integers(0, V, size=M).astype(np.int32))
+    rows = rng.normal(size=(M, D)).astype(np.float32)
+    a = dedupe_grads(jnp.asarray(ids), jnp.asarray(rows))
+    b = dedupe_grads(jnp.asarray(ids), jnp.asarray(rows), ids_sorted=True)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_allclose(np.asarray(a.rows), np.asarray(b.rows),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.is_last), np.asarray(b.is_last))

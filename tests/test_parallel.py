@@ -116,6 +116,49 @@ def test_sharded_training_matches_single_device(
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_dp_training_matches_single_device(mesh, tiny_schema, tiny_dataset):
+    """GSPMD data-parallel step (replicated table, batch sharded over the
+    data axis) must reproduce the single-device trajectory — the XLA SPMD
+    partitioner inserts the gradient psum (SURVEY.md §2.4 DP row)."""
+    from deepctr_tpu.parallel import make_dp_train_step, replicate_state
+
+    model = FMModel(k=3)
+    sopt, dopt = SparseAdagrad(0.1), optax.sgd(0.05)
+    B, steps = 64, 4
+    ds = tiny_dataset
+    batches = [
+        (ds.ids[i * B:(i + 1) * B], ds.labels[i * B:(i + 1) * B],
+         np.ones(B, np.float32))
+        for i in range(steps)
+    ]
+
+    st = init_state(model, tiny_schema, sopt, dopt, seed=3)
+    step1 = make_train_step(model, tiny_schema, sopt, dopt, jit=False)
+    losses1 = []
+    for ids, y, w in batches:
+        st, m = step1(st, ids, y, w)
+        losses1.append(float(m.loss))
+
+    st2 = replicate_state(
+        init_state(model, tiny_schema, sopt, dopt, seed=3), mesh
+    )
+    dp_step = make_dp_train_step(model, tiny_schema, sopt, dopt, mesh)
+    losses2 = []
+    for ids, y, w in batches:
+        st2, m = dp_step(st2, jnp.asarray(ids), jnp.asarray(y), jnp.asarray(w))
+        losses2.append(float(m.loss))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.table), np.asarray(st2.table), rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st.dense), jax.tree_util.tree_leaves(st2.dense)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_sharded_determinism(mesh, tiny_schema, tiny_dataset):
     """Same inputs twice -> bitwise-identical tables (the determinism test
     doubling as a race check for the all-to-all path, SURVEY.md §5)."""
