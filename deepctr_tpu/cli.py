@@ -76,7 +76,17 @@ def load_data(cfg):
     d = cfg.data
     if d.format not in ("yx", "criteo"):
         raise ValueError(f"unknown data format {d.format!r} (yx|criteo)")
-    if d.schema_path:
+    fi = None
+    if d.featindex_path:
+        # real-data on-ramp: make-ipinyou-data featindex defines BOTH the
+        # schema and the yx-id remap (data/featindex.py)
+        if d.format != "yx":
+            raise ValueError("data.featindex_path requires data.format=yx")
+        from .data.featindex import load_featindex
+
+        fi = load_featindex(d.featindex_path, max_len=d.featindex_max_len)
+        schema = fi.schema
+    elif d.schema_path:
         with open(d.schema_path) as f:
             schema = Schema.from_json(f.read())
     elif d.format == "criteo":
@@ -95,6 +105,15 @@ def load_data(cfg):
         return schema, ds.ids[:cut], ds.labels[:cut], ds.ids[cut:], ds.labels[cut:]
 
     def read(path):
+        if fi is not None:
+            from .data import featindex as fidx
+
+            if d.use_cache:
+                return read_cache(
+                    fidx.cache_yx_file(path, fi, d.featindex_path)
+                )[:2]
+            labels, ids = fidx.parse_yx_file(path, fi)
+            return ids, labels
         if d.use_cache:
             return read_cache(
                 cache_text_file(path, schema, fmt=d.format,

@@ -49,6 +49,10 @@ class DataConfig:
     test_path: str | None = None
     schema_path: str | None = None     # Schema JSON (None -> ipinyou_like,
                                        # or criteo_schema for format=criteo)
+    featindex_path: str | None = None  # make-ipinyou-data featindex.txt:
+                                       # derives the schema AND remaps yx ids
+                                       # (real-iPinYou on-ramp, format=yx)
+    featindex_max_len: str = "usertag=3"  # multi-valued fields, "name=N,..."
     criteo_cat_buckets: int = 1_000_000  # hash buckets per categorical column
     synthetic_examples: int = 200_000
     synthetic_seed: int = 0

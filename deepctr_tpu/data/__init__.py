@@ -7,6 +7,7 @@ tensors with a prefetching host pipeline (BASELINE.json:5).
 
 from .schema import FieldSpec, Schema, ipinyou_full_schema, ipinyou_like_schema, make_schema
 from .parser import parse_yx_file, parse_yx_lines, pack_ids
+from .featindex import FeatIndex, load_featindex
 from .pipeline import Batch, DevicePrefetcher, epoch_iterator, minibatches
 from .synthetic import SyntheticDataset, generate, write_yx_file
 
@@ -19,6 +20,8 @@ __all__ = [
     "parse_yx_file",
     "parse_yx_lines",
     "pack_ids",
+    "FeatIndex",
+    "load_featindex",
     "Batch",
     "DevicePrefetcher",
     "epoch_iterator",

@@ -64,10 +64,14 @@ def pack_ids(
     return out
 
 
-def parse_yx_lines(
-    lines: list[str] | list[bytes], schema: Schema, strict: bool = False
-) -> tuple[np.ndarray, np.ndarray]:
-    """Parse yx text lines -> (labels float32[B], ids int32[B, S])."""
+def raw_yx_rows(
+    lines: list[str] | list[bytes], strict: bool = False
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Parse yx text lines -> (labels float32[B], per-row global-id lists).
+
+    The unpacked form; callers that need a different global-id space (e.g.
+    the featindex importer's remap) transform the lists before packing.
+    """
     labels_list: list[float] = []
     rows: list[np.ndarray] = []
     for line in lines:
@@ -93,7 +97,14 @@ def parse_yx_lines(
                 if strict:
                     raise
         rows.append(np.asarray(gids, dtype=np.int64))
-    labels = np.asarray(labels_list, dtype=np.float32)
+    return np.asarray(labels_list, dtype=np.float32), rows
+
+
+def parse_yx_lines(
+    lines: list[str] | list[bytes], schema: Schema, strict: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parse yx text lines -> (labels float32[B], ids int32[B, S])."""
+    labels, rows = raw_yx_rows(lines, strict=strict)
     return labels, pack_ids(rows, schema, strict=strict)
 
 

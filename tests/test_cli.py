@@ -235,9 +235,9 @@ def test_cli_criteo_sharded_sorted_mode(tmp_path, monkeypatch):
     calls = {"n": 0}
     orig = sparse_mod.dedupe_grads
 
-    def spy(ids, rows):
+    def spy(ids, rows, ids_sorted=False):
         calls["n"] += 1
-        return orig(ids, rows)
+        return orig(ids, rows, ids_sorted=ids_sorted)
 
     monkeypatch.setattr(sparse_mod, "dedupe_grads", spy)
 

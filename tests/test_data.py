@@ -271,3 +271,122 @@ def test_epoch_iterator(tiny_schema, tiny_dataset):
     b0 = seen[0][1].ids
     b4 = seen[4][1].ids
     assert not np.array_equal(b0, b4)
+
+
+# ---------------------------------------------------------------------------
+# featindex importer (make-ipinyou-data on-ramp, data/featindex.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_featindex(path):
+    """A miniature make-ipinyou-data featindex: indices assigned in
+    first-seen order ACROSS fields (interleaved per-field ranges)."""
+    lines = [
+        "truncate\t0",
+        "weekday:1\t1",
+        "hour:0\t2",
+        "weekday:3\t3",
+        "usertag:10059\t4",
+        "hour:12\t5",
+        "usertag:10024\t6",
+        "weekday:5\t7",
+        "usertag:13800\t8",
+        "url:a:b:c\t9",       # colons in the value: field = text before LAST colon
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_load_featindex_schema_and_remap(tmp_path):
+    from deepctr_tpu.data.featindex import load_featindex
+
+    p = tmp_path / "featindex.txt"
+    _write_featindex(str(p))
+    fi = load_featindex(str(p), max_len={"usertag": 3})
+    names = [f.name for f in fi.schema.fields]
+    # first-appearance order
+    assert names == ["truncate", "weekday", "hour", "usertag", "url:a:b"]
+    vocabs = {f.name: f.vocab_size for f in fi.schema.fields}
+    assert vocabs == {"truncate": 1, "weekday": 3, "hour": 2,
+                      "usertag": 3, "url:a:b": 1}
+    assert {f.name: f.max_len for f in fi.schema.fields}["usertag"] == 3
+    # remap: old index -> offsets[field] + first-seen local
+    off = dict(zip(names, fi.schema.offsets))
+    assert fi.remap[1] == off["weekday"] + 0
+    assert fi.remap[3] == off["weekday"] + 1
+    assert fi.remap[7] == off["weekday"] + 2
+    assert fi.remap[2] == off["hour"] + 0
+    assert fi.remap[5] == off["hour"] + 1
+    assert fi.remap[4] == off["usertag"] + 0
+    assert fi.remap[8] == off["usertag"] + 2
+    assert fi.remap[9] == off["url:a:b"] + 0
+
+
+def test_featindex_parse_and_pack(tmp_path):
+    from deepctr_tpu.data.featindex import load_featindex, parse_yx_file
+
+    fp = tmp_path / "featindex.txt"
+    _write_featindex(str(fp))
+    fi = load_featindex(str(fp), max_len={"usertag": 3})
+    yx = tmp_path / "train.yx"
+    # row 2 references old id 99 (absent from featindex) -> dropped
+    yx.write_text("1 1:1 2:1 4:1 6:1\n0 3:1 5:1 99:1\n")
+    labels, ids = parse_yx_file(str(yx), fi)
+    np.testing.assert_array_equal(labels, [1.0, 0.0])
+    s = fi.schema
+    off = dict(zip([f.name for f in s.fields], s.offsets))
+    slot = dict(zip([f.name for f in s.fields], s.slot_offsets))
+    pad = s.pad_id
+    assert ids[0, slot["weekday"]] == off["weekday"] + 0
+    assert ids[0, slot["hour"]] == off["hour"] + 0
+    # two usertags packed into the 3 usertag slots
+    tag_slots = ids[0, slot["usertag"]: slot["usertag"] + 3]
+    assert set(tag_slots) == {off["usertag"] + 0, off["usertag"] + 1, pad}
+    # row 2: unknown id dropped, no crash
+    assert ids[1, slot["weekday"]] == off["weekday"] + 1
+    assert ids[1, slot["hour"]] == off["hour"] + 1
+    assert (ids[1] == pad).sum() == s.num_slots - 2
+
+
+def test_featindex_cache_invalidation(tmp_path):
+    import os
+    import time
+
+    from deepctr_tpu.data.cache import read_cache
+    from deepctr_tpu.data.featindex import cache_yx_file, load_featindex
+
+    fp = tmp_path / "featindex.txt"
+    _write_featindex(str(fp))
+    fi = load_featindex(str(fp))
+    yx = tmp_path / "train.yx"
+    yx.write_text("1 1:1\n")
+    c1 = cache_yx_file(str(yx), fi, str(fp))
+    ids1, labels1, schema1 = read_cache(c1)
+    assert schema1.vocab_size == fi.schema.vocab_size
+    m1 = os.path.getmtime(c1)
+    # untouched -> cache reused
+    assert cache_yx_file(str(yx), fi, str(fp)) == c1
+    assert os.path.getmtime(c1) == m1
+    # touching the FEATINDEX (not the yx file) must invalidate
+    time.sleep(0.01)
+    os.utime(str(fp))
+    cache_yx_file(str(yx), fi, str(fp))
+    assert os.path.getmtime(c1) >= os.path.getmtime(str(fp))
+
+
+def test_cli_load_data_featindex(tmp_path):
+    from deepctr_tpu.cli import load_data
+    from deepctr_tpu.config import RunConfig
+
+    fp = tmp_path / "featindex.txt"
+    _write_featindex(str(fp))
+    yx = tmp_path / "train.yx"
+    yx.write_text("1 1:1 2:1\n0 3:1 5:1\n1 7:1\n0 1:1\n")
+    cfg = RunConfig()
+    cfg.data.featindex_path = str(fp)
+    cfg.data.train_path = str(yx)
+    cfg.data.test_fraction = 0.25
+    schema, tr_ids, tr_y, te_ids, te_y = load_data(cfg)
+    assert [f.name for f in schema.fields][:3] == ["truncate", "weekday", "hour"]
+    assert tr_ids.shape[0] == 3 and te_ids.shape[0] == 1
+    assert tr_ids.shape[1] == schema.num_slots
