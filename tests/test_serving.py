@@ -82,3 +82,46 @@ def test_int8_table_memory(trained, tiny_schema_mod):
         quantize="int8",
     )
     assert s._table.dtype == np.int8
+
+
+def test_scorer_from_sharded_run_checkpoint(tmp_path, tiny_schema_mod):
+    """Checkpoints written by the SHARDED loop are saved in the logical
+    single-device layout (host_state_from_sharded), so the Scorer must load
+    and score them directly — the serve-from-multichip-training contract
+    (VERDICT weak #7)."""
+    from deepctr_tpu.cli import run
+    from deepctr_tpu.config import RunConfig
+    from deepctr_tpu.data import synthetic
+
+    ck = str(tmp_path / "sharded.ckpt")
+    cfg = RunConfig().apply_overrides([
+        "model.name=fm", "model.k=4",
+        "train.epochs=2", "train.batch_size=512", "train.sharded=true",
+        "train.scan_steps=0", "train.prefetch=false",
+        f"train.checkpoint_path={ck}",
+        "data.synthetic_examples=4096",
+    ])
+    res = run(cfg)
+    assert np.isfinite(res["best_auc"])
+
+    from deepctr_tpu.cli import load_data
+
+    schema, tr_ids, _, te_ids, _ = load_data(cfg)
+    scorer = Scorer.from_checkpoint(ck, FMModel(k=4), schema, batch_size=512)
+    probs = scorer.predict(te_ids)
+    assert probs.shape[0] == te_ids.shape[0]
+    assert np.all((probs >= 0) & (probs <= 1))
+    # oracle: host-side forward on the checkpointed params
+    import jax.numpy as jnp
+
+    from deepctr_tpu.models import apply_model
+    from deepctr_tpu.utils.checkpoint import load_scoring_params
+
+    import jax
+
+    dense_like = FMModel(k=4).init_params(jax.random.PRNGKey(0), schema)["dense"]
+    table, dense = load_scoring_params(ck, dense_like)
+    want = apply_model(FMModel(k=4), {"table": table, "dense": dense},
+                       jnp.asarray(te_ids), schema.pad_id)
+    want = 1.0 / (1.0 + np.exp(-np.clip(np.asarray(want), -30, 30)))
+    np.testing.assert_allclose(probs, want, rtol=2e-5, atol=2e-5)
