@@ -42,6 +42,15 @@ from ..data.schema import Schema
 # vocab, vs ~vocab*28ns via padded MXU matmul -> breakeven near 16k; 8192 is a
 # conservative default that keeps the one-hot temporaries modest.
 #
+# Precision of the one-hot selection matmuls.  HIGHEST (6-pass f32 MXU
+# emulation) keeps the split path trajectory-equal to the all-scatter path
+# (the selection itself is exact at any precision; the backward's summed
+# per-field gradient is where accumulation precision matters — MXU
+# accumulation is f32 even at DEFAULT, so relaxing costs only the bf16
+# rounding of the operands, ~2^-8 relative).  Module-level so benchmarks
+# and configs can trade ~1e-3 gradient rounding for MXU throughput.
+ONEHOT_PRECISION = jax.lax.Precision.HIGHEST
+
 # MEMORY: each small slot materialises a [B, L, vocab] f32 one-hot temporary
 # (usually fused into the matmul by XLA, but budget for it): at batch 8192 a
 # vocab-8192 single-slot field is ~256 MB.  iPinYou-shaped schemas (small
@@ -193,9 +202,7 @@ def assemble_rows(
         )
         oh = (local[..., None] == id_vec[None, None, :]).astype(sub.dtype)
         parts.append(
-            jnp.einsum(
-                "blv,vd->bld", oh, sub, precision=jax.lax.Precision.HIGHEST
-            )
+            jnp.einsum("blv,vd->bld", oh, sub, precision=ONEHOT_PRECISION)
         )
     parts.append(big_rows)
     rows = jnp.concatenate(parts, axis=1)
