@@ -17,7 +17,15 @@ import numpy as np
 
 
 def build_model(cfg, schema):
-    from .models import FMModel, LRModel, MlpSpec, SNNModel, make_deepfm, make_fnn
+    from .models import (
+        FMModel,
+        LRModel,
+        MlpSpec,
+        SNNModel,
+        make_deepfm,
+        make_fnn,
+        make_pnn,
+    )
 
     m = cfg.model
     if m.name == "lr":
@@ -42,6 +50,15 @@ def build_model(cfg, schema):
             init_sigma=m.init_sigma,
             use_pallas=m.use_pallas,
         )
+    if m.name in ("pnn", "ipnn", "opnn"):
+        return make_pnn(
+            schema,
+            k=m.k,
+            product="outer" if m.name == "opnn" else "inner",
+            mlp=MlpSpec(hidden=tuple(m.hidden), activation=m.activation,
+                        dropout=m.dropout),
+            init_sigma=m.init_sigma,
+        )
     if m.name == "snn":
         return SNNModel(
             hidden1=m.hidden1,
@@ -50,7 +67,9 @@ def build_model(cfg, schema):
             init_sigma=m.init_sigma,
             use_pallas=m.use_pallas,
         )
-    raise ValueError(f"unknown model {m.name!r} (lr|fm|fnn|snn|deepfm)")
+    raise ValueError(
+        f"unknown model {m.name!r} (lr|fm|fnn|snn|deepfm|ipnn|opnn)"
+    )
 
 
 def build_optimizers(cfg):

@@ -14,6 +14,7 @@ from .base import (
     weighted_bce_with_logits,
 )
 from .deepfm import DeepFMModel, make_deepfm
+from .pnn import PNNModel, make_pnn
 from .fm import FMModel
 from .fnn import FNNModel, make_fnn
 from .lr import LRModel
@@ -30,6 +31,8 @@ __all__ = [
     "weighted_bce_with_logits",
     "DeepFMModel",
     "make_deepfm",
+    "PNNModel",
+    "make_pnn",
     "FMModel",
     "FNNModel",
     "make_fnn",

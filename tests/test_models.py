@@ -237,3 +237,58 @@ def test_deepfm_learns(tiny_schema, tiny_dataset):
         batch_size=256, epochs=8, prefetch=False, early_stop_patience=8,
     )
     assert res.best_auc > 0.65, res.history
+
+
+def test_pnn_forward_vs_numpy(tiny_schema):
+    from deepctr_tpu.models import MlpSpec, make_pnn
+
+    for product in ("inner", "outer"):
+        model = make_pnn(tiny_schema, k=3, product=product,
+                         mlp=MlpSpec(hidden=(8,), dropout=0.0,
+                                     activation="relu"))
+        params = model.init_params(jax.random.PRNGKey(6), tiny_schema)
+        active = [0, 5, 13]
+        ids = np.full((1, tiny_schema.num_slots), tiny_schema.pad_id, np.int32)
+        ids[0, : len(active)] = active
+        logits = apply_model(model, params, jnp.asarray(ids),
+                             tiny_schema.pad_id)
+
+        tab = np.asarray(params["table"])
+        F, D = tiny_schema.num_fields, 4
+        pooled = np.zeros((F, D), np.float32)
+        sf = np.asarray(tiny_schema.slot_field)
+        for slot, gid in enumerate(ids[0]):
+            if gid != tiny_schema.pad_id:
+                pooled[sf[slot]] += tab[gid]
+        if product == "inner":
+            prods = [float(pooled[i] @ pooled[j])
+                     for i in range(F) for j in range(i + 1, F)]
+        else:
+            s = pooled.sum(axis=0)
+            prods = list(0.5 * (s * s - (pooled * pooled).sum(axis=0)))
+        x = np.concatenate([pooled.reshape(-1), np.asarray(prods, np.float32)])
+        layers = params["dense"]["mlp"]["layers"]
+        for i, layer in enumerate(layers):
+            x = x @ np.asarray(layer["w"]) + np.asarray(layer["b"])
+            if i < len(layers) - 1:
+                x = np.maximum(x, 0)
+        np.testing.assert_allclose(np.asarray(logits)[0], x[0], rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_pnn_learns(tiny_schema, tiny_dataset):
+    from deepctr_tpu.models import MlpSpec, make_pnn
+
+    ds = tiny_dataset
+    n = ds.ids.shape[0]
+    tr, te = slice(0, int(0.8 * n)), slice(int(0.8 * n), n)
+    model = make_pnn(tiny_schema, k=4, product="inner",
+                     mlp=MlpSpec(hidden=(32,), dropout=0.0,
+                                 activation="relu"))
+    res = fit(
+        model, tiny_schema, ds.ids[tr], ds.labels[tr], ds.ids[te], ds.labels[te],
+        sparse_opt=SparseAdagrad(learning_rate=0.1),
+        dense_opt=optax.adagrad(0.05),
+        batch_size=256, epochs=8, prefetch=False, early_stop_patience=8,
+    )
+    assert res.best_auc > 0.65, res.history

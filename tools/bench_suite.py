@@ -60,6 +60,9 @@ def bench_models(results):
         "fm": FMModel(k=10),
         "fm_pallas": FMModel(k=10, use_pallas=True),
         "fnn": make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5)),
+        "fnn_pallas": make_fnn(schema, k=10,
+                               mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5),
+                               use_pallas=True),
         "deepfm": make_deepfm(schema, k=10),
     }
     from deepctr_tpu.ops.split_embed import make_split_plan
@@ -192,7 +195,9 @@ def bench_full_schema(results):
     schema = ipinyou_full_schema()
     B, T = 8192, 8
     ds = synthetic.generate(schema, num_examples=B * 2 * T, k=2, seed=5)
-    model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5))
+    # fused Pallas tower: the headline configuration (see bench.py / BENCH.md)
+    model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5),
+                     use_pallas=True)
     sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
     from deepctr_tpu.ops.split_embed import make_split_plan
 
@@ -253,6 +258,14 @@ def main():
         json.dump(results, f, indent=2)
 
     out = os.path.join(root, "BENCH.md")
+    # preserve the hand-written roofline analysis across regenerations
+    roofline = ""
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = f.read()
+        idx = prev.find("## Roofline")
+        if idx >= 0:
+            roofline = "\n" + prev[idx:]
     with open(out, "w") as f:
         f.write("# BENCH — measured performance (deepctr_tpu)\n\n")
         f.write(f"Backend: `{backend}` ({jax.devices()[0]}). ")
@@ -268,6 +281,7 @@ def main():
         for k, v in results.items():
             f.write(f"| {k} | {v:,.0f} |\n")
         f.write(f"\nGenerated by tools/bench_suite.py at {time.ctime()}.\n")
+        f.write(roofline)
     print(f"wrote {out}")
     print(json.dumps({k: round(v, 1) for k, v in results.items()}))
 
