@@ -181,8 +181,68 @@ def bench_parser(results):
     )
 
 
-def bench_full_schema(results):
-    """Headline model at full-iPinYou vocabulary (~0.94M features)."""
+def bench_serving(results):
+    """Scorer (inference) throughput at full-iPinYou vocab per quant mode.
+
+    Device-only number: the jitted forward inside one lax.scan (marginal
+    T vs 2T), chained through a non-foldable select so XLA cannot DCE or
+    overlap iterations.  The reference's pred_fn analogue (serving.py).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepctr_tpu.data import ipinyou_full_schema, synthetic
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.serving import Scorer
+
+    schema = ipinyou_full_schema()
+    B = 8192
+    ds = synthetic.generate(schema, num_examples=B, k=2, seed=11)
+    model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5))
+    params = model.init_params(jax.random.PRNGKey(0), schema)
+    ids0 = jnp.asarray(ds.ids)
+
+    for mode in (None, "bf16", "int8"):
+        scorer = Scorer(model=model, schema=schema,
+                        table=np.asarray(params["table"]),
+                        dense=params["dense"], batch_size=B, quantize=mode)
+        fwd, table, dense = scorer._fwd, scorer._table, scorer._dense
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def scan_n(ids, n, fwd=fwd, table=table, dense=dense):
+            def body(c, _):
+                logits = fwd(table, dense, c)
+                # runtime-value select: keeps a true data dependency between
+                # iterations (a `* 0` chain would constant-fold away)
+                c2 = jnp.where(logits[0] > jnp.float32(1e30), c + 1, c)
+                return c2, None
+
+            out, _ = jax.lax.scan(body, ids, None, length=n)
+            return out
+
+        def run(c):
+            t0 = time.perf_counter()
+            o = scan_n(ids0, n=c)
+            np.asarray(o[:1])
+            return time.perf_counter() - t0
+
+        per = _marginal(run, 10, 20)
+        key = f"serving_examples_per_s/{mode or 'f32'}"
+        results[key] = B / per
+        print(f"serving {mode or 'f32'}: {per*1e3:.3f} ms/batch -> "
+              f"{B/per:,.0f} ex/s")
+
+
+def bench_full_schema(results, batch_sizes=(8192,)):
+    """Headline model at full-iPinYou vocabulary (~0.94M features).
+
+    ``batch_sizes`` beyond 8192 form the batch-scaling study: the sparse
+    floors (scatter/gather) scale per-row while the full-table Adagrad
+    elementwise and dispatch overheads are fixed per step, so larger batches
+    amortise them (BENCH.md roofline).
+    """
     import jax.numpy as jnp
     import optax
 
@@ -193,7 +253,21 @@ def bench_full_schema(results):
     from deepctr_tpu.train.step import make_scan_train_step
 
     schema = ipinyou_full_schema()
-    B, T = 8192, 8
+    for B in batch_sizes:
+        _bench_full_schema_one(results, schema, B)
+
+
+def _bench_full_schema_one(results, schema, B):
+    import jax.numpy as jnp
+    import optax
+
+    from deepctr_tpu.data import synthetic
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.train import init_state
+    from deepctr_tpu.train.step import make_scan_train_step
+
+    T = 8
     ds = synthetic.generate(schema, num_examples=B * 2 * T, k=2, seed=5)
     # fused Pallas tower: the headline configuration (see bench.py / BENCH.md)
     model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5),
@@ -221,8 +295,11 @@ def bench_full_schema(results):
         return time.perf_counter() - t0
 
     per_step = _marginal(run, T, 2 * T)
-    results["train_examples_per_s/fnn_full_vocab"] = B / per_step
-    print(f"fnn@full-vocab: {per_step*1e3:.2f} ms/step -> {B/per_step:,.0f} ex/s")
+    key = ("train_examples_per_s/fnn_full_vocab" if B == 8192
+           else f"train_examples_per_s/fnn_full_vocab_b{B}")
+    results[key] = B / per_step
+    print(f"fnn@full-vocab B={B}: {per_step*1e3:.2f} ms/step -> "
+          f"{B/per_step:,.0f} ex/s")
 
 
 def main():
@@ -232,9 +309,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--sections", default="parser,models,full,lookup",
-        help="comma list: parser,models,full,lookup (run big sections in "
-        "separate invocations; results accumulate in BENCH.json)",
+        "--sections", default="parser,models,full,lookup,serving",
+        help="comma list: parser,models,full,lookup,serving,batch (run big "
+        "sections in separate invocations; results accumulate in BENCH.json)",
     )
     args = ap.parse_args()
     sections = set(args.sections.split(","))
@@ -252,8 +329,12 @@ def main():
         bench_models(results)
     if "full" in sections:
         bench_full_schema(results)
+    if "batch" in sections:
+        bench_full_schema(results, batch_sizes=(16384, 32768))
     if "lookup" in sections:
         bench_lookup(results)
+    if "serving" in sections:
+        bench_serving(results)
     with open(acc_path, "w") as f:
         json.dump(results, f, indent=2)
 
