@@ -25,8 +25,9 @@ class Scorer:
 
     ``quantize`` compresses the embedding table for serving replicas:
     - ``"bf16"``: 2x smaller, negligible accuracy impact;
-    - ``"int8"``: 4x smaller, row-wise absmax scales, dequantised on gather
-      (the scorer's math stays f32).
+    - ``"int8"``: 4x smaller, row-wise absmax scales packed into the row as
+      4 trailing int8 bytes (one gather per row), dequantised on gather (the
+      scorer's math stays f32).
     """
 
     model: Model
@@ -48,7 +49,6 @@ class Scorer:
         # every quantization mode
         from .ops.split_embed import (
             assemble_rows,
-            gather_big_rows,
             gather_big_rows_sorted,
             make_split_plan,
             slice_small_tables,
@@ -57,65 +57,64 @@ class Scorer:
         split = make_split_plan(self.schema)
 
         if self.quantize == "int8":
+            # Packed-scale layout (measured ~3x, tools/serving_lab.py): the
+            # f32 row scale rides as 4 extra int8 bytes in the row, so big
+            # fields pay ONE per-row gather.  The naive layout's second
+            # gather (scales [V, 1]) costs the same per-row latency as the
+            # payload gather — per-row cost, not bytes, is what TPU gathers
+            # charge for.  Memory is identical: D+4 bytes/row either way.
             t = jnp.asarray(self.table, jnp.float32)
+            d = t.shape[1]
             scales = jnp.maximum(jnp.abs(t).max(axis=1, keepdims=True), 1e-12) / 127.0
-            self._table = jnp.clip(jnp.round(t / scales), -127, 127).astype(jnp.int8)
-            self._scales = scales
+            q = jnp.clip(jnp.round(t / scales), -127, 127).astype(jnp.int8)
+            scale_bytes = jax.lax.bitcast_convert_type(
+                scales, jnp.int8
+            ).reshape(-1, 4)
+            self._table = jnp.concatenate([q, scale_bytes], axis=1)
 
-            @jax.jit
-            def fwd(table, scales_, dense, ids):
-                if split.has_small:
-                    # dequantise each small subtable once per call (a few
-                    # hundred KB), then one-hot-matmul in f32; big fields
-                    # dequantise only the gathered rows
-                    small = [
-                        q.astype(jnp.float32) * s
-                        for q, s in zip(
-                            slice_small_tables(table, split),
-                            slice_small_tables(scales_, split),
-                        )
-                    ]
-                    big = gather_big_rows(table, ids, split).astype(
-                        jnp.float32
-                    ) * gather_big_rows(scales_, ids, split)
-                    rows = assemble_rows(small, big, ids, split)
-                else:
-                    rows = (
-                        jnp.take(table, ids, axis=0).astype(jnp.float32)
-                        * jnp.take(scales_, ids, axis=0)
-                    )
-                mask = (ids != pad_id).astype(jnp.float32)
-                return model.apply_rows(dense, rows, mask, train=False, rng=None)
-
-            self._fwd_q = fwd
-        else:
-            dtype = jnp.bfloat16 if self.quantize == "bf16" else jnp.float32
-            self._table = jnp.asarray(self.table, dtype)
-            self._scales = None
+            def dequant(packed):
+                rows = packed[..., :d].astype(jnp.float32)
+                s = jax.lax.bitcast_convert_type(packed[..., d:], jnp.float32)
+                return rows * s[..., None]
 
             @jax.jit
             def fwd(table, dense, ids):
                 if split.has_small:
-                    rows = assemble_rows(
-                        slice_small_tables(table, split),
-                        gather_big_rows_sorted(table, ids, split)[0],
-                        ids,
-                        split,
-                    )
+                    # dequantise each small subtable once per call (a few
+                    # hundred KB), then one-hot-matmul in f32; big fields
+                    # dequantise only the gathered rows
+                    small = [dequant(s) for s in slice_small_tables(table, split)]
+                    big = dequant(gather_big_rows_sorted(table, ids, split)[0])
+                    rows = assemble_rows(small, big, ids, split)
                 else:
-                    rows = jnp.take(table, ids, axis=0)
-                rows = rows.astype(jnp.float32)
+                    rows = dequant(jnp.take(table, ids, axis=0))
+                mask = (ids != pad_id).astype(jnp.float32)
+                return model.apply_rows(dense, rows, mask, train=False, rng=None)
+        else:
+            dtype = jnp.bfloat16 if self.quantize == "bf16" else jnp.float32
+            self._table = jnp.asarray(self.table, dtype)
+
+            @jax.jit
+            def fwd(table, dense, ids):
+                if split.has_small:
+                    # cast-early (measured +25% for bf16, serving_lab.py):
+                    # cast the small subtables once per call and the gathered
+                    # big rows on the fly, so the one-hot einsums and the
+                    # tower see the f32-mode graph (no-op in f32 mode)
+                    small = [
+                        s.astype(jnp.float32)
+                        for s in slice_small_tables(table, split)
+                    ]
+                    big = gather_big_rows_sorted(table, ids, split)[0].astype(
+                        jnp.float32
+                    )
+                    rows = assemble_rows(small, big, ids, split)
+                else:
+                    rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
                 mask = (ids != pad_id).astype(jnp.float32)
                 return model.apply_rows(dense, rows, mask, train=False, rng=None)
 
-            self._fwd_plain = fwd
-
-        def dispatch(table, dense, ids):
-            if self.quantize == "int8":
-                return self._fwd_q(table, self._scales, dense, ids)
-            return self._fwd_plain(table, dense, ids)
-
-        self._fwd = dispatch
+        self._fwd = fwd
         self._dense = jax.tree_util.tree_map(jnp.asarray, self.dense)
 
     @staticmethod

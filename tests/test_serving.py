@@ -82,6 +82,31 @@ def test_int8_table_memory(trained, tiny_schema_mod):
         quantize="int8",
     )
     assert s._table.dtype == np.int8
+    # packed-scale layout: D quantized bytes + 4 scale bytes per row, i.e.
+    # exactly the same footprint as separate scales, one gather instead of two
+    d = np.asarray(trained.table).shape[1]
+    assert s._table.shape[1] == d + 4
+
+
+def test_int8_packed_scale_roundtrip(trained, tiny_schema_mod):
+    """The f32 row scale must survive the int8 bitcast EXACTLY (it is packed
+    as raw bytes, not re-quantized)."""
+    t = np.asarray(trained.table, np.float32)
+    s = Scorer(
+        model=FMModel(k=4),
+        schema=tiny_schema_mod,
+        table=t,
+        dense={k: np.asarray(v) for k, v in trained.dense.items()},
+        quantize="int8",
+    )
+    d = t.shape[1]
+    packed = np.asarray(s._table)
+    scales = np.maximum(np.abs(t).max(axis=1, keepdims=True), 1e-12) / 127.0
+    recovered = packed[:, d:].copy().view(np.float32)
+    np.testing.assert_array_equal(recovered, scales.astype(np.float32))
+    # and the payload dequantizes to within one quantization step
+    deq = packed[:, :d].astype(np.float32) * recovered
+    assert np.max(np.abs(deq - t)) <= np.max(scales) * 0.5 + 1e-7
 
 
 def test_scorer_from_sharded_run_checkpoint(tmp_path, tiny_schema_mod):
