@@ -263,7 +263,8 @@ def run(cfg) -> dict:
                 and (epoch + 1) % max(cfg.train.checkpoint_every, 1) == 0
             ):
                 save_train_state(cfg.train.checkpoint_path, st,
-                                 epoch=epoch + 1, meta=ckpt_meta)
+                                 epoch=epoch + 1, meta=ckpt_meta,
+                                 schema=schema)
 
         res = fit(
             model,
@@ -293,7 +294,7 @@ def run(cfg) -> dict:
                 1 for r in res.history if not r.get("eval_only")
             )
             save_train_state(cfg.train.checkpoint_path, res.state,
-                             epoch=epochs_done, meta=ckpt_meta)
+                             epoch=epochs_done, meta=ckpt_meta, schema=schema)
             if cfg.model.name == "fm":
                 from .utils.checkpoint import save_fm_embeddings
 
@@ -492,7 +493,7 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
             save_train_state(
                 cfg.train.checkpoint_path,
                 host_state_from_sharded(state, schema.padded_vocab_size, mesh),
-                epoch=epoch + 1, meta=ckpt_meta,
+                epoch=epoch + 1, meta=ckpt_meta, schema=schema,
             )
         if rec["auc"] > best_auc:
             best_auc, best_epoch, since = rec["auc"], epoch, 0
@@ -511,7 +512,7 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
             state, schema.padded_vocab_size, mesh
         )
         save_train_state(cfg.train.checkpoint_path, host_state,
-                         epoch=epochs_done, meta=ckpt_meta)
+                         epoch=epochs_done, meta=ckpt_meta, schema=schema)
         if cfg.model.name == "fm":
             from .utils.checkpoint import save_fm_embeddings
 
@@ -554,16 +555,53 @@ def main(argv=None):
 
 
 def score(cfg, yx_path: str) -> int:
-    """Offline scoring surface (the reference's pred_fn role)."""
-    from .serving import Scorer
+    """Offline scoring surface (the reference's pred_fn role).
 
-    schema, *_ = _load_schema_only(cfg)
-    model = build_model(cfg, schema)
+    The schema comes from the checkpoint manifest (the exact id space the
+    model trained with — including featindex- and criteo-derived schemas);
+    config-derived schemas are only a fallback for pre-``schema_json``
+    checkpoints.  With ``data.featindex_path`` set, the yx file's raw
+    make-ipinyou-data indices are remapped through the featindex exactly as
+    at training time.
+    """
+    from .data import Schema
+    from .serving import Scorer
+    from .utils.checkpoint import read_manifest
+
     if not cfg.train.checkpoint_path:
         raise SystemExit("--score requires train.checkpoint_path")
+    manifest = read_manifest(cfg.train.checkpoint_path)
+
+    fi = None
+    if cfg.data.featindex_path:
+        from .data.featindex import load_featindex
+
+        fi = load_featindex(
+            cfg.data.featindex_path, max_len=cfg.data.featindex_max_len
+        )
+    if "schema_json" in manifest:
+        schema = Schema.from_json(manifest["schema_json"])
+        if fi is not None and fi.schema.to_json() != schema.to_json():
+            raise SystemExit(
+                "featindex schema does not match the checkpoint's training "
+                "schema — regenerated featindex? Retrain or point "
+                "data.featindex_path at the file used for training."
+            )
+    elif fi is not None:
+        schema = fi.schema
+    else:
+        schema = _load_schema_only(cfg)
+    model = build_model(cfg, schema)
     scorer = Scorer.from_checkpoint(
         cfg.train.checkpoint_path, model, schema, batch_size=cfg.train.batch_size
     )
+    if fi is not None:
+        from .data import featindex as fidx
+
+        _, ids = fidx.parse_yx_file(yx_path, fi)
+        for p in scorer.predict(ids):
+            print(f"{p:.6f}")
+        return 0
     for chunk in scorer.score_yx_file(yx_path, cfg.data.use_native_parser):
         for p in chunk:
             print(f"{p:.6f}")
@@ -571,12 +609,17 @@ def score(cfg, yx_path: str) -> int:
 
 
 def _load_schema_only(cfg):
+    """Config-derived schema — fallback for checkpoints without schema_json."""
     from .data import Schema, ipinyou_like_schema
 
     if cfg.data.schema_path:
         with open(cfg.data.schema_path) as f:
-            return (Schema.from_json(f.read()),)
-    return (ipinyou_like_schema(),)
+            return Schema.from_json(f.read())
+    if cfg.data.format == "criteo":
+        from .data.criteo import criteo_schema
+
+        return criteo_schema(cfg.data.criteo_cat_buckets)
+    return ipinyou_like_schema()
 
 
 if __name__ == "__main__":

@@ -118,7 +118,7 @@ class Scorer:
         self._dense = jax.tree_util.tree_map(jnp.asarray, self.dense)
 
     @staticmethod
-    def from_checkpoint(path: str, model: Model, schema: Schema,
+    def from_checkpoint(path: str, model: Model, schema: Schema | None = None,
                         batch_size: int = 8192,
                         quantize: str | None = None) -> "Scorer":
         """Load from a train-state checkpoint written by the CLI/loop.
@@ -126,10 +126,34 @@ class Scorer:
         The checkpoint manifest records where the (table, dense) leaves sit
         (utils/checkpoint.py), so serving never reconstructs optimizer
         state — no guessing which optimizer trained the model.
+
+        The manifest also carries the training Schema (``schema_json``), so
+        a featindex- or criteo-trained checkpoint scores under the exact id
+        space it trained with.  A caller-supplied ``schema`` must match the
+        manifest's; ``None`` uses the manifest's (error if the checkpoint
+        predates schema embedding).
         """
         import jax
 
-        from .utils.checkpoint import load_scoring_params
+        from .utils.checkpoint import load_scoring_params, read_manifest
+
+        manifest = read_manifest(path)
+        if "schema_json" in manifest:
+            ckpt_schema = Schema.from_json(manifest["schema_json"])
+            if schema is None:
+                schema = ckpt_schema
+            elif schema.to_json() != ckpt_schema.to_json():
+                raise ValueError(
+                    f"schema mismatch: checkpoint {path} was trained with a "
+                    f"different Schema ({ckpt_schema.num_fields} fields, "
+                    f"vocab {ckpt_schema.vocab_size}) than the one supplied "
+                    f"({schema.num_fields} fields, vocab {schema.vocab_size})"
+                )
+        elif schema is None:
+            raise ValueError(
+                f"checkpoint {path} has no embedded schema (pre-schema_json "
+                f"format) — pass the training Schema explicitly"
+            )
 
         dense_like = model.init_params(jax.random.PRNGKey(0), schema)["dense"]
         table, dense = load_scoring_params(path, dense_like)

@@ -56,7 +56,7 @@ def read_manifest(path: str) -> dict:
 
 
 def save_train_state(path: str, state, epoch: int = 0,
-                     meta: dict | None = None) -> None:
+                     meta: dict | None = None, schema=None) -> None:
     """Save a TrainState checkpoint.  ``epoch`` records epochs COMPLETED so
     resume continues the epoch schedule (shuffle seeds, LR decay) exactly
     where the killed run stopped.
@@ -64,10 +64,18 @@ def save_train_state(path: str, state, epoch: int = 0,
     The manifest additionally records where the ``table`` and ``dense``
     leaves sit in the flat leaf list ("scoring" entry), so serving can load
     model params without reconstructing the optimizer-state pytree.
+
+    ``schema``: when given, its JSON rides in the manifest so scoring never
+    reconstructs the id space from config — a featindex- or criteo-trained
+    checkpoint scores under the exact schema it trained with (the reference's
+    pred_fn shares the train script's in-memory index map, SURVEY.md §3.1;
+    a standalone scorer must persist it).
     """
     extra = {"epoch": int(epoch)}
     if meta:
         extra.update(meta)
+    if schema is not None:
+        extra["schema_json"] = schema.to_json()
     # TrainState field order: step, table, sparse_state, dense, dense_state,
     # rng -> table is leaf 1; dense leaves follow the sparse-state leaves
     n_sparse = len(jax.tree_util.tree_leaves(state.sparse_state))
