@@ -117,7 +117,8 @@ def load_data(cfg):
 
     if d.train_path is None:
         ds = synthetic.generate(
-            schema, num_examples=d.synthetic_examples, seed=d.synthetic_seed
+            schema, num_examples=d.synthetic_examples, seed=d.synthetic_seed,
+            teacher=d.synthetic_teacher,
         )
         n = ds.ids.shape[0]
         cut = int(n * (1 - d.test_fraction))

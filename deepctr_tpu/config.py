@@ -56,6 +56,10 @@ class DataConfig:
     criteo_cat_buckets: int = 1_000_000  # hash buckets per categorical column
     synthetic_examples: int = 200_000
     synthetic_seed: int = 0
+    # planted process for synthetic data (data/synthetic.py): "fm" anchors
+    # parity to the reference reproduction; "mlp" plants higher-order
+    # structure so the paper's deep>shallow ordering is demonstrable
+    synthetic_teacher: str = "fm"      # fm | mlp
     test_fraction: float = 0.15        # used when test_path is None
     use_cache: bool = True
     use_native_parser: bool = True

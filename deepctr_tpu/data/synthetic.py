@@ -42,13 +42,24 @@ def generate(
     noise: float = 0.5,
     zipf_alpha: float = 1.05,
     seed: int = 0,
+    teacher: str = "fm",
 ) -> SyntheticDataset:
-    """Sample ids per field (Zipf marginals) and labels from a planted FM.
+    """Sample ids per field (Zipf marginals) and labels from a planted model.
 
-    The planted process: y ~ Bernoulli(sigmoid(b0 + sum w_g + sum <v_i,v_j> + eps)),
-    matching the FM functional form of SURVEY.md §2.3 so LR underfits it and
-    FM/FNN can close the gap — the same qualitative ordering the reference
-    paper reports on iPinYou.
+    ``teacher`` selects the planted process:
+
+    - ``"fm"`` (default): y ~ Bernoulli(sigmoid(b0 + Σ w_g + Σ <v_i,v_j> + ε)),
+      the FM functional form of SURVEY.md §2.3.  LR underfits it; FM/FNN can
+      close the gap — but by construction NO model can beat FM on it, so it
+      anchors parity, not the paper's deep-beats-shallow claim.
+    - ``"mlp"``: a standardized mix of linear + FM-pairwise + a random tanh-MLP
+      over concatenated per-field teacher embeddings.  The MLP tier carries
+      genuinely higher-order structure (any *pairwise* value function is
+      rank-limited FM-representable — e.g. XOR parity h(v1)·h(v2) is rank 1 —
+      so discriminating deep from shallow requires >2-way interactions).  On
+      this process the reference paper's qualitative ordering (FNN/SNN above
+      LR, FM in between; arXiv:1601.02376, SURVEY.md §6) is reproducible:
+      see tools/reproduce.py and tests/test_reproduce.py's ordering gate.
     """
     schema = schema or ipinyou_like_schema()
     rng = np.random.default_rng(seed)
@@ -81,8 +92,40 @@ def generate(
     s = vv.sum(axis=1)               # [N, k]
     sq = (vv * vv).sum(axis=1)       # [N, k]
     inter = 0.5 * (s * s - sq).sum(axis=1)
-    logits = lin + inter
-    logits = (logits - logits.mean()) / (logits.std() + 1e-9)
+
+    def std(x):
+        return (x - x.mean()) / (x.std() + 1e-9)
+
+    if teacher == "fm":
+        logits = std(lin + inter)
+    elif teacher == "mlp":
+        # Higher-order tier: random 2-hidden-layer tanh MLP over concatenated
+        # per-field teacher embeddings (field-pooled for multi-value fields).
+        d, h1, h2 = 6, 64, 32
+        F = schema.num_fields
+        E = rng.normal(0.0, 1.0, size=(V + 1, d)).astype(np.float32)
+        E[schema.pad_id] = 0.0
+        emb = E[ids]                                   # [N, S, d]
+        pooled = np.zeros((num_examples, F, d), np.float32)
+        sf = schema.slot_field
+        for col in range(S):
+            pooled[:, sf[col], :] += emb[:, col, :]
+        u = pooled.reshape(num_examples, F * d)
+        W1 = rng.normal(0.0, np.sqrt(2.0 / (F * d)), size=(F * d, h1))
+        b1 = rng.normal(0.0, 0.5, size=h1)
+        W2 = rng.normal(0.0, np.sqrt(2.0 / h1), size=(h1, h2))
+        b2 = rng.normal(0.0, 0.5, size=h2)
+        W3 = rng.normal(0.0, np.sqrt(2.0 / h2), size=(h2,))
+        deep = np.tanh(np.tanh(u @ W1 + b1) @ W2 + b2) @ W3
+        # standardize each tier so the mix is controlled: enough linear for
+        # LR to be clearly above chance, enough pairwise for FM to beat LR,
+        # and a dominant deep tier only deep models can capture
+        # mix tuned so the gaps are measurable under an 8-epoch SGD budget:
+        # LR +0.004 below FM, FM +0.004 below FNN, ~0.008 LR->FNN (the paper
+        # reports 0.5-2 AUC points LR->FNN on iPinYou; SURVEY.md §6)
+        logits = std(0.4 * std(lin) + 0.5 * std(inter) + 1.5 * std(deep))
+    else:
+        raise ValueError(f"unknown teacher {teacher!r} (fm|mlp)")
     b0 = float(np.log(base_ctr / (1 - base_ctr)))
     bayes = (b0 + 1.5 * logits).astype(np.float32)
     noisy = bayes + rng.normal(0.0, noise, size=num_examples).astype(np.float32)

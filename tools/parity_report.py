@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(seeds: int, examples: int, out_path: str) -> None:
+def run(seeds: int, examples: int, out_path: str,
+        models: tuple = ("lr", "fm", "fnn", "snn_dae", "snn_rbm")) -> None:
     import optax
 
     from deepctr_tpu.data import ipinyou_like_schema, synthetic
@@ -61,7 +62,7 @@ def run(seeds: int, examples: int, out_path: str) -> None:
     # SNN geometry/pretraining knobs (paper-shaped; SURVEY.md §2.3 SNN row)
     h1, snn_hidden, pre_lr, pre_epochs, pre_m = 200, (300, 100), 0.1, 2, 2
     rows = []
-    for name in ("lr", "fm", "fnn", "snn_dae", "snn_rbm"):
+    for name in models:
         ours_auc, ours_ll, ref_auc, ref_ll = [], [], [], []
         for seed in range(seeds):
             # ---- reference reproduction
@@ -198,7 +199,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--examples", type=int, default=40_000)
+    ap.add_argument("--models", default="lr,fm,fnn,snn_dae,snn_rbm",
+                    help="comma list (diagnostic runs on a subset)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PARITY.md"))
     args = ap.parse_args()
-    run(args.seeds, args.examples, args.out)
+    run(args.seeds, args.examples, args.out,
+        models=tuple(m.strip() for m in args.models.split(",") if m.strip()))

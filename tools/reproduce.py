@@ -51,6 +51,7 @@ def base_config(args) -> dict:
         "featindex_path": args.featindex,
         "synthetic_examples": args.examples,
         "synthetic_seed": 7,
+        "synthetic_teacher": args.teacher,
     }
     train = {
         "batch_size": args.batch,
@@ -137,6 +138,11 @@ def main(argv=None):
                    choices=["none", "shapes", "regularization", "sampling", "all"])
     p.add_argument("--examples", type=int, default=120_000,
                    help="synthetic dataset size (ignored with --train)")
+    p.add_argument("--teacher", default="mlp", choices=["fm", "mlp"],
+                   help="planted synthetic process: 'mlp' carries higher-"
+                   "order structure so the paper's deep>shallow ordering is "
+                   "demonstrable; 'fm' is the parity anchor (on it no model "
+                   "can beat FM by construction)")
     p.add_argument("--train"), p.add_argument("--test")
     p.add_argument("--schema"), p.add_argument("--featindex")
     p.add_argument("--epochs", type=int, default=8)
@@ -208,7 +214,8 @@ def main(argv=None):
                 srows, "SNN-DAE negative-sample count m (paper: m ∈ {1,2,4})"))
 
     dataset = (args.train or
-               f"synthetic ipinyou_like ({args.examples} examples, seed 7)")
+               f"synthetic ipinyou_like ({args.examples} examples, seed 7, "
+               f"teacher={args.teacher})")
     header = (
         "# RESULTS — model-family reproduction\n\n"
         f"Dataset: {dataset}.  Budget: {args.epochs} epochs, batch "
