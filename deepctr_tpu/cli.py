@@ -88,13 +88,22 @@ def build_optimizers(cfg):
 
 
 def load_data(cfg):
-    """Returns (schema, train_ids, train_labels, test_ids, test_labels)."""
+    """Returns (schema, train_ids, train_labels, test_ids, test_labels).
+
+    With ``data.stream=true`` the second element is a
+    ``data.stream.StreamSource`` (and the third is None): training streams
+    the shard files through the native parser with bounded host RAM instead
+    of materializing the dataset (the Criteo-scale path, BASELINE.json:11).
+    """
     from .data import Schema, ipinyou_like_schema, synthetic
     from .data.cache import cache_text_file, read_cache
 
     d = cfg.data
     if d.format not in ("yx", "criteo"):
         raise ValueError(f"unknown data format {d.format!r} (yx|criteo)")
+    if d.stream and not d.train_path:
+        raise ValueError("data.stream=true requires data.train_path "
+                         "(shard file, glob, or comma list)")
     fi = None
     if d.featindex_path:
         # real-data on-ramp: make-ipinyou-data featindex defines BOTH the
@@ -151,6 +160,27 @@ def load_data(cfg):
             labels, ids = parser.parse_yx_file(path, schema)
         return ids, labels
 
+    if d.stream:
+        if not d.test_path:
+            raise ValueError(
+                "data.stream=true requires data.test_path (the eval set is "
+                "the only part materialized in RAM)"
+            )
+        from .data.stream import StreamSource
+
+        source = StreamSource(
+            paths=d.train_path,
+            schema=schema,
+            batch_size=cfg.train.batch_size,
+            fmt="yx-featindex" if fi is not None else d.format,
+            buffer_rows=d.stream_buffer_rows,
+            seed=cfg.train.seed,
+            use_native=d.use_native_parser,
+            featindex=fi,
+        )
+        te_ids, te_labels = read(d.test_path)
+        return schema, source, None, te_ids, te_labels
+
     tr_ids, tr_labels = read(d.train_path)
     if d.test_path:
         te_ids, te_labels = read(d.test_path)
@@ -186,6 +216,11 @@ def run(cfg) -> dict:
     from .utils.logging import MetricsLogger
 
     schema, tr_ids, tr_labels, te_ids, te_labels = load_data(cfg)
+    from .data.stream import StreamSource
+
+    train_source = tr_ids if isinstance(tr_ids, StreamSource) else None
+    if train_source is not None:
+        tr_ids = tr_labels = None
     model = build_model(cfg, schema)
     sparse_opt, dense_opt = build_optimizers(cfg)
     logger = MetricsLogger(cfg.train.metrics_path, echo=True)
@@ -218,6 +253,12 @@ def run(cfg) -> dict:
         state = state._replace(table=params["table"])
         logger.log({"event": "init_from_fm", "path": cfg.model.init_from})
     if not resumed and cfg.model.name == "snn" and cfg.train.pretrain:
+        if train_source is not None:
+            raise ValueError(
+                "SNN pretraining iterates the training ids in RAM; use "
+                "data.stream=false (or pretrain on a subsample file first "
+                "and pass model.init_from)"
+            )
         from .models import DaePretrainer, RbmPretrainer
 
         pre = (
@@ -252,6 +293,7 @@ def run(cfg) -> dict:
             cfg, model, schema, sparse_opt, dense_opt,
             tr_ids, tr_labels, te_ids, te_labels, logger, state,
             start_epoch=start_epoch, ckpt_meta=ckpt_meta,
+            train_source=train_source,
         )
     else:
         def on_epoch(epoch, st, rec):
@@ -289,6 +331,7 @@ def run(cfg) -> dict:
             prefetch=cfg.train.prefetch,
             on_epoch=on_epoch,
             start_epoch=start_epoch,
+            train_source=train_source,
         )
         if cfg.train.checkpoint_path:
             epochs_done = start_epoch + sum(
@@ -313,7 +356,8 @@ def run(cfg) -> dict:
 
 def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
                  tr_ids, tr_labels, te_ids, te_labels, logger, state,
-                 start_epoch: int = 0, ckpt_meta: dict | None = None):
+                 start_epoch: int = 0, ckpt_meta: dict | None = None,
+                 train_source=None):
     """Sharded training loop (row-sharded tables over the device mesh).
 
     Feature parity with the single-device loop (train/loop.py): consumes the
@@ -408,7 +452,18 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
         t0 = time.perf_counter()
         lr_scale = cfg.train.lr_decay ** epoch
         n_b, loss_sum, dropped_sum = 0, 0.0, 0
-        if scan_step is not None:
+        if scan_step is not None and train_source is not None:
+            it = train_source.scan_chunks(epoch, scan_steps)
+            if cfg.train.prefetch:
+                it = DevicePrefetcher(it, depth=2, sharding=scan_sharding)
+            for nb, (ids_t, y_t, w_t) in it:
+                state, (losses, dropped) = scan_step(
+                    state, ids_t, y_t, w_t, lr_scale
+                )
+                loss_sum += float(np.asarray(losses)[:nb].sum())
+                dropped_sum += int(np.asarray(dropped).sum())
+                n_b += nb
+        elif scan_step is not None:
             S = tr_ids.shape[1]
             n = tr_ids.shape[0]
             order = np.arange(n)
@@ -452,9 +507,14 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
                 dropped_sum += int(np.asarray(dropped).sum())
                 n_b += nb
         else:
-            it = minibatches(
-                tr_ids, tr_labels, batch_size, schema=schema,
-                shuffle=True, seed=cfg.train.seed + epoch, drop_remainder=True,
+            it = (
+                train_source.batches(epoch)
+                if train_source is not None
+                else minibatches(
+                    tr_ids, tr_labels, batch_size, schema=schema,
+                    shuffle=True, seed=cfg.train.seed + epoch,
+                    drop_remainder=True,
+                )
             )
             if cfg.train.prefetch:
                 it = DevicePrefetcher(it, depth=2, sharding=batch_sharding)

@@ -63,6 +63,13 @@ class DataConfig:
     test_fraction: float = 0.15        # used when test_path is None
     use_cache: bool = True
     use_native_parser: bool = True
+    # streaming ingestion (data/stream.py): train WITHOUT materializing the
+    # dataset — shard files (train_path may be a glob/comma list) parsed
+    # chunk-by-chunk through the native parser into a shuffle buffer; host
+    # RAM is bounded by stream_buffer_rows + one chunk.  Requires test_path
+    # (eval set stays in RAM).  The Criteo-scale path (BASELINE.json:11).
+    stream: bool = False
+    stream_buffer_rows: int = 262_144
 
 
 @dataclasses.dataclass

@@ -9,6 +9,7 @@ from .schema import FieldSpec, Schema, ipinyou_full_schema, ipinyou_like_schema,
 from .parser import parse_yx_file, parse_yx_lines, pack_ids
 from .featindex import FeatIndex, load_featindex
 from .pipeline import Batch, DevicePrefetcher, epoch_iterator, minibatches
+from .stream import StreamSource, expand_shards
 from .synthetic import SyntheticDataset, generate, write_yx_file
 
 __all__ = [
@@ -26,6 +27,8 @@ __all__ = [
     "DevicePrefetcher",
     "epoch_iterator",
     "minibatches",
+    "StreamSource",
+    "expand_shards",
     "SyntheticDataset",
     "generate",
     "write_yx_file",

@@ -80,6 +80,7 @@ def fit(
     prefetch: bool = True,
     on_epoch: Callable[[int, TrainState, dict], None] | None = None,
     start_epoch: int = 0,
+    train_source=None,
 ) -> FitResult:
     """Train with per-epoch eval and early stop on held-out AUC.
 
@@ -94,6 +95,11 @@ def fit(
     ``lax.scan`` dispatch — semantically identical training, but host
     dispatch cost amortises to ~zero (essential through remote runtimes
     where each dispatch costs milliseconds; see ARCHITECTURE.md §6).
+
+    ``train_source`` (a ``data.stream.StreamSource``) replaces the in-RAM
+    ``train_ids``/``train_labels`` (pass None) with bounded-memory streaming
+    from shard files — the Criteo-scale path (BASELINE.json:11).  Eval stays
+    array-based (test sets are small).
     """
     from ..ops.split_embed import make_split_plan
     from .step import make_scan_train_step
@@ -118,7 +124,19 @@ def fit(
         lr_scale = lr_decay**epoch
         n_batches = 0
         losses = []  # device scalars; fetched once per epoch (a float() per
-        if scan_step is not None:
+        if scan_step is not None and train_source is not None:
+            import jax.numpy as jnp
+
+            for nb, (ids_t, y_t, w_t) in train_source.scan_chunks(
+                epoch, scan_steps
+            ):
+                state, chunk_losses = scan_step(
+                    state, jnp.asarray(ids_t), jnp.asarray(y_t),
+                    jnp.asarray(w_t), lr_scale
+                )
+                losses.append(chunk_losses[:nb].sum())
+                n_batches += nb
+        elif scan_step is not None:
             import jax.numpy as jnp
 
             n = train_ids.shape[0]
@@ -154,14 +172,18 @@ def fit(
                 losses.append(chunk_losses[:nb].sum())
                 n_batches += nb
         else:
-            it = minibatches(
-                train_ids,
-                train_labels,
-                batch_size,
-                schema=schema,
-                shuffle=True,
-                seed=seed + epoch,
-                drop_remainder=True,
+            it = (
+                train_source.batches(epoch)
+                if train_source is not None
+                else minibatches(
+                    train_ids,
+                    train_labels,
+                    batch_size,
+                    schema=schema,
+                    shuffle=True,
+                    seed=seed + epoch,
+                    drop_remainder=True,
+                )
             )
             if prefetch:
                 it = DevicePrefetcher(it, depth=2)

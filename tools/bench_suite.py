@@ -181,6 +181,36 @@ def bench_parser(results):
     )
 
 
+def bench_stream(results):
+    """Streaming ingestion throughput (host-only): shard files -> shuffled
+    batches through StreamSource, vs the raw native-parser floor.  The gap
+    to the parser floor is the shuffle-buffer bookkeeping."""
+    from deepctr_tpu.data import StreamSource, ipinyou_like_schema, synthetic
+
+    schema = ipinyou_like_schema()
+    ds = synthetic.generate(schema, num_examples=400_000, k=2, seed=9)
+    paths = []
+    per = 100_000
+    for i in range(4):
+        p = f"/tmp/bench_stream_{i}.yx"
+        sl = slice(i * per, (i + 1) * per)
+        synthetic.write_yx_file(
+            synthetic.SyntheticDataset(schema, ds.ids[sl], ds.labels[sl],
+                                       ds.bayes_logits[sl]), p)
+        paths.append(p)
+    size_mb = sum(os.path.getsize(p) for p in paths) / 1e6
+
+    src = StreamSource(paths=paths, schema=schema, batch_size=8192,
+                       buffer_rows=1 << 18, seed=0)
+    t0 = time.perf_counter()
+    rows = sum(b.ids.shape[0] for b in src.batches(0))
+    dt = time.perf_counter() - t0
+    results["stream_rows_per_s"] = rows / dt
+    results["stream_mb_per_s"] = size_mb / dt
+    print(f"stream: {rows} rows in {dt:.2f}s -> {rows/dt:,.0f} rows/s "
+          f"({size_mb/dt:.0f} MB/s text)")
+
+
 def bench_serving(results):
     """Scorer (inference) throughput at full-iPinYou vocab per quant mode.
 
@@ -309,9 +339,10 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--sections", default="parser,models,full,lookup,serving",
-        help="comma list: parser,models,full,lookup,serving,batch (run big "
-        "sections in separate invocations; results accumulate in BENCH.json)",
+        "--sections", default="parser,models,full,lookup,serving,stream",
+        help="comma list: parser,models,full,lookup,serving,stream,batch "
+        "(run big sections in separate invocations; results accumulate in "
+        "BENCH.json)",
     )
     args = ap.parse_args()
     sections = set(args.sections.split(","))
@@ -335,6 +366,8 @@ def main():
         bench_lookup(results)
     if "serving" in sections:
         bench_serving(results)
+    if "stream" in sections:
+        bench_stream(results)
     with open(acc_path, "w") as f:
         json.dump(results, f, indent=2)
 
