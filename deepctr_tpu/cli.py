@@ -398,21 +398,21 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
     step = make_sharded_train_step(
         model, schema, sparse_opt, dense_opt, mesh,
         l2=cfg.optim.l2, capacity_factor=cfg.train.capacity_factor,
-        split=split,
+        split=split, exchange_dtype=cfg.train.exchange_dtype,
     )
     scan_steps = cfg.train.scan_steps
     scan_step = (
         make_sharded_scan_train_step(
             model, schema, sparse_opt, dense_opt, mesh,
             l2=cfg.optim.l2, capacity_factor=cfg.train.capacity_factor,
-            split=split,
+            split=split, exchange_dtype=cfg.train.exchange_dtype,
         )
         if scan_steps > 1
         else None
     )
     eval_step = make_sharded_eval_step(
         model, schema, mesh, capacity_factor=cfg.train.capacity_factor,
-        split=split,
+        split=split, exchange_dtype=cfg.train.exchange_dtype,
     )
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     scan_sharding = NamedSharding(mesh, P(None, DATA_AXIS))

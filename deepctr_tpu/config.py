@@ -95,6 +95,10 @@ class TrainConfig:
     sharded: bool = False              # row-sharded tables + all-to-all
     num_devices: int | None = None     # None -> all
     capacity_factor: float = 2.0
+    # wire dtype of the row/grad all_to_all payload: "bf16" halves the
+    # dominant cross-host exchange volume for ~2^-8 relative rounding
+    # (math stays f32; see SCALING.md and parallel/comm.py)
+    exchange_dtype: str = "f32"        # f32 | bf16
     # io / fault tolerance (SURVEY.md §5: heartbeat + restart-from-checkpoint)
     resume: bool = False               # resume from checkpoint_path if present
     checkpoint_every: int = 1          # save every N epochs (when path set)

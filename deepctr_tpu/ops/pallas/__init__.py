@@ -10,5 +10,7 @@ exact kernel code path is exercised in CI (SURVEY.md §5 sanitizer row).
 
 from .interaction import fm_score, fm_score_fused
 from .mlp import mlp_tower, mlp_tower_fused
+from .runtime import default_interpret, set_force_interpret
 
-__all__ = ["fm_score", "fm_score_fused", "mlp_tower", "mlp_tower_fused"]
+__all__ = ["fm_score", "fm_score_fused", "mlp_tower", "mlp_tower_fused",
+           "default_interpret", "set_force_interpret"]

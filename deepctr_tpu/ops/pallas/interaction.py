@@ -102,7 +102,9 @@ def fm_score_fused(
     interpreter mode off-TPU so CPU tests exercise the same code path.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .runtime import default_interpret
+
+        interpret = default_interpret()
     B, S, D = rows.shape
     assert D == 1 + k, (D, k)
     x = (rows * mask[..., None]).reshape(B, S * D)

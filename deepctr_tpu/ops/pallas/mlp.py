@@ -214,7 +214,9 @@ def mlp_tower_fused(
     backward regenerates them bit-exactly (and interpreter mode works).
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .runtime import default_interpret
+
+        interpret = default_interpret()
     B, in_dim = x.shape
     layers = mlp["layers"]
     padded, dims, pdims = _pad_params(layers, in_dim)
@@ -393,7 +395,9 @@ def _tower_fwd_rule(mlp, x, activation, interpret, dropout, seed):
 def _tower_bwd_rule(activation, interpret, dropout, res, g):
     mlp, x, seed = res
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from .runtime import default_interpret
+
+        interpret = default_interpret()
     B, in_dim = x.shape
     layers = mlp["layers"]
     padded, dims, pdims = _pad_params(layers, in_dim)

@@ -8,6 +8,7 @@ embedding-table rows (row sharding + all-to-all).
 """
 
 from .mesh import DATA_AXIS, data_sharding, make_data_mesh, replicated, shard_batch_arrays
+from .comm import CommVolume, comm_volume, dense_param_bytes, exchange_capacity, predict_scaling
 from .dp import make_dp_train_step, replicate_state
 from .sharded import (
     ShardedTrainState,
@@ -40,4 +41,9 @@ __all__ = [
     "pack_table",
     "shard_rows",
     "unpack_table",
+    "CommVolume",
+    "comm_volume",
+    "dense_param_bytes",
+    "exchange_capacity",
+    "predict_scaling",
 ]

@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.schema import Schema
 from ..models.base import Model
 from ..ops.split_embed import SplitPlan, assemble_rows
+from .comm import exchange_capacity
 from .mesh import DATA_AXIS
 
 
@@ -107,12 +108,21 @@ def _bucket_by_owner(flat_ids: jax.Array, n: int, sentinel: int, cap: int) -> _B
     return _Buckets(send[:, :cap], order, owner_s, rank, dropped)
 
 
-def _exchange_lookup(table_shard: jax.Array, b: _Buckets, cap: int):
+def _exchange_lookup(table_shard: jax.Array, b: _Buckets, cap: int,
+                     wire_dtype=None):
     """all_to_all ids -> local gather -> all_to_all rows. Returns
-    (occurrence rows [M, D] in original order, recv ids [N, C])."""
+    (occurrence rows [M, D] in original order, recv ids [N, C]).
+
+    ``wire_dtype`` (e.g. bf16) compresses the row payload ON THE WIRE only:
+    rows are cast after the local gather and restored to the table dtype
+    after the return exchange — the DCN/ICI knob SCALING.md quantifies
+    (halves the dominant exchange volume for ~2^-8 relative rounding)."""
     recv = jax.lax.all_to_all(b.send, DATA_AXIS, 0, 0, tiled=True)   # [N, C]
     rows_local = jnp.take(table_shard, recv, axis=0)                 # [N, C, D]
+    if wire_dtype is not None:
+        rows_local = rows_local.astype(wire_dtype)
     rows_back = jax.lax.all_to_all(rows_local, DATA_AXIS, 0, 0, tiled=True)
+    rows_back = rows_back.astype(table_shard.dtype)
     safe_rank = jnp.where(b.rank < cap, b.rank, 0)
     rows_s = rows_back[b.owner_s, safe_rank]                         # [M, D]
     rows_s = jnp.where((b.rank < cap)[:, None], rows_s, 0.0)
@@ -120,14 +130,24 @@ def _exchange_lookup(table_shard: jax.Array, b: _Buckets, cap: int):
     return rows_s[inv], recv
 
 
-def _exchange_scatter_grads(g_occ: jax.Array, b: _Buckets, cap: int) -> jax.Array:
-    """Route occurrence grads [M, D] back to owner shards -> [N, C, D]."""
+def _exchange_scatter_grads(g_occ: jax.Array, b: _Buckets, cap: int,
+                            wire_dtype=None) -> jax.Array:
+    """Route occurrence grads [M, D] back to owner shards -> [N, C, D].
+
+    Each (owner, rank) slot holds exactly one occurrence (ranks are unique
+    within an owner bucket), so the wire cast loses only per-element
+    precision; duplicate-id ACCUMULATION happens after the exchange in the
+    sparse optimizer, in the table dtype (f32)."""
     d = g_occ.shape[-1]
+    out_dtype = g_occ.dtype
+    if wire_dtype is not None:
+        g_occ = g_occ.astype(wire_dtype)
     g_s = g_occ[b.order]
     buf = jnp.zeros((b.send.shape[0], cap + 1, d), g_occ.dtype)
     buf = buf.at[b.owner_s, jnp.minimum(b.rank, cap)].add(g_s)
     buf = buf[:, :cap]
-    return jax.lax.all_to_all(buf, DATA_AXIS, 0, 0, tiled=True)
+    out = jax.lax.all_to_all(buf, DATA_AXIS, 0, 0, tiled=True)
+    return out.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +357,7 @@ def make_sharded_train_step(
     capacity_factor: float = 2.0,
     template_state: ShardedTrainState | None = None,
     split: SplitPlan | None = None,
+    exchange_dtype: str = "f32",
 ):
     """Build the fully-sharded jitted train step.
 
@@ -350,6 +371,10 @@ def make_sharded_train_step(
     With ``split`` (ops/split_embed.py), small fields bypass the all-to-all:
     their rows are all-gathered as replicated subtables (a few hundred KB)
     and their dense per-field gradients are psum'd and applied shard-locally.
+
+    ``exchange_dtype="bf16"`` compresses the row/grad all_to_all payload on
+    the wire (gather, cast, exchange, restore) — the dominant cross-host
+    volume, see SCALING.md; math stays f32 end to end otherwise.
     """
     n = int(np.prod(list(mesh.shape.values())))
     pad_id = schema.pad_id
@@ -360,6 +385,9 @@ def make_sharded_train_step(
     big_slots = (
         jnp.asarray(split.big_slots, jnp.int32) if use_split else None
     )
+    if exchange_dtype not in ("f32", "bf16"):
+        raise ValueError(f"exchange_dtype {exchange_dtype!r} (f32|bf16)")
+    wire_dtype = jnp.bfloat16 if exchange_dtype == "bf16" else None
 
     def inner(state: ShardedTrainState, ids, labels, weights, lr_scale):
         # shapes here are PER-DEVICE: ids [b_loc, S], table [R+1, D]
@@ -367,7 +395,9 @@ def make_sharded_train_step(
         d = state.table.shape[-1]
         exch_ids = ids[:, big_slots] if use_split else ids
         m = exch_ids.shape[0] * exch_ids.shape[1]
-        cap = max(1, min(max(m, 1), int(capacity_factor * _cdiv(max(m, 1), n))))
+        # capacity formula shared with the comm-volume accounting
+        # (parallel/comm.py) so SCALING.md cannot drift from execution
+        cap = exchange_capacity(m, n, capacity_factor)
         rng, step_rng = jax.random.split(state.rng)
         step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(DATA_AXIS))
         mask = (ids != pad_id).astype(jnp.float32)
@@ -378,7 +408,8 @@ def make_sharded_train_step(
         if m > 0:
             flat = exch_ids.reshape(-1)
             buckets = _bucket_by_owner(flat, n, sentinel, cap)
-            occ_rows, recv = _exchange_lookup(state.table, buckets, cap)
+            occ_rows, recv = _exchange_lookup(state.table, buckets, cap,
+                                              wire_dtype)
         else:  # every field is in the matmul class: no exchange at all
             buckets = None
             occ_rows = jnp.zeros((0, d), state.table.dtype)
@@ -438,7 +469,8 @@ def make_sharded_train_step(
 
         # --- table: route occurrence grads to owner shards, dedupe, update
         if buckets is not None:
-            g_recv = _exchange_scatter_grads(g_occ, buckets, cap)   # [N, C, D]
+            g_recv = _exchange_scatter_grads(g_occ, buckets, cap,
+                                             wire_dtype)            # [N, C, D]
             occ_local_ids = recv.reshape(-1)
             occ_grads = g_recv.reshape(occ_local_ids.shape[0], -1)
             dropped = buckets.dropped
@@ -504,6 +536,7 @@ def make_sharded_scan_train_step(
     l2: float = 0.0,
     capacity_factor: float = 2.0,
     split: SplitPlan | None = None,
+    exchange_dtype: str = "f32",
 ):
     """T sharded train steps in one ``lax.scan`` dispatch.
 
@@ -514,6 +547,7 @@ def make_sharded_scan_train_step(
     inner_builder = make_sharded_train_step(
         model, schema, sparse_opt, dense_opt, mesh,
         l2=l2, capacity_factor=capacity_factor, split=split,
+        exchange_dtype=exchange_dtype,
     )
 
     _cache: dict = {}
@@ -537,7 +571,8 @@ def make_sharded_scan_train_step(
 
 def make_sharded_eval_step(model: Model, schema: Schema, mesh: Mesh,
                            capacity_factor: float = 2.0,
-                           split: SplitPlan | None = None):
+                           split: SplitPlan | None = None,
+                           exchange_dtype: str = "f32"):
     """Sharded forward pass: ``(table_stored, dense, ids) -> logits``."""
     n = int(np.prod(list(mesh.shape.values())))
     pad_id = schema.pad_id
@@ -546,16 +581,17 @@ def make_sharded_eval_step(model: Model, schema: Schema, mesh: Mesh,
     big_slots = (
         jnp.asarray(split.big_slots, jnp.int32) if use_split else None
     )
+    wire_dtype = jnp.bfloat16 if exchange_dtype == "bf16" else None
 
     def inner(table, dense, ids):
         b_loc, S = ids.shape
         d = table.shape[-1]
         exch_ids = ids[:, big_slots] if use_split else ids
         m = exch_ids.shape[0] * exch_ids.shape[1]
-        cap = max(1, min(max(m, 1), int(capacity_factor * _cdiv(max(m, 1), n))))
+        cap = exchange_capacity(m, n, capacity_factor)
         if m > 0:
             buckets = _bucket_by_owner(exch_ids.reshape(-1), n, R, cap)
-            occ_rows, _ = _exchange_lookup(table, buckets, cap)
+            occ_rows, _ = _exchange_lookup(table, buckets, cap, wire_dtype)
         else:
             occ_rows = jnp.zeros((b_loc, 0, d), table.dtype)
         if use_split:

@@ -80,6 +80,12 @@ def run(seeds: int, examples: int, out_path: str,
                         pre.train_batch(ds.ids[order[s : s + B]])
                 ref = NumpySnn(schema, hidden1=h1, hidden=snn_hidden, lr=lr_,
                                seed=seed, table=pre.table, b1=pre.b1)
+                # snapshot the oracle's freshly-initialised MLP stack before
+                # training mutates it: the supervised phases start from the
+                # SAME init on both sides (removes init-lottery variance —
+                # measured ±0.007 AUC — so the SNN rows isolate the
+                # pretraining implementations, the only part that differs)
+                ref_init_layers = [(W.copy(), b.copy()) for W, b in ref.layers]
             else:
                 fm0 = NumpyFM(schema, k=k, lr=lr_, seed=seed)
                 train_numpy_model(
@@ -118,6 +124,8 @@ def run(seeds: int, examples: int, out_path: str,
                     sparse_opt=SparseSgd(pre_lr), dense_lr=pre_lr,
                     batch_size=B, epochs=pre_epochs, seed=seed,
                 )
+                import jax.numpy as jnp
+
                 model = SNNModel(hidden1=h1,
                                  mlp=MlpSpec(hidden=snn_hidden, dropout=0.0))
                 state = init_state(model, schema, SparseSgd(lr_),
@@ -125,8 +133,14 @@ def run(seeds: int, examples: int, out_path: str,
                 params = init_snn_from_pretrain(
                     {"table": state.table, "dense": state.dense}, table, b1
                 )
-                state = state._replace(table=params["table"],
-                                       dense=params["dense"])
+                # matched supervised init (see oracle snapshot above); each
+                # side keeps ITS OWN pretrained (table, b1)
+                layers = [
+                    {"w": jnp.asarray(W), "b": jnp.asarray(bb)}
+                    for W, bb in ref_init_layers
+                ]
+                dense = {**params["dense"], "mlp": {"layers": layers}}
+                state = state._replace(table=params["table"], dense=dense)
             else:
                 import jax
 
