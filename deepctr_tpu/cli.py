@@ -226,7 +226,8 @@ def run(cfg) -> dict:
     logger = MetricsLogger(cfg.train.metrics_path, echo=True)
 
     state = init_state(
-        model, schema, sparse_opt, dense_opt, seed=cfg.train.seed
+        model, schema, sparse_opt, dense_opt, seed=cfg.train.seed,
+        table_dtype=cfg.train.table_dtype,
     )
     resumed = False
     start_epoch = 0

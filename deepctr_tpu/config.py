@@ -85,6 +85,9 @@ class TrainConfig:
     # per-field gradients instead of gather/scatter rows (ops/split_embed.py);
     # 0 disables the split path entirely
     split_threshold: int = 8192
+    # embedding-table storage dtype: "bf16" halves gather + full-table
+    # elementwise HBM traffic (math stays f32; BENCH.md roofline knob)
+    table_dtype: str = "f32"           # f32 | bf16
     # SNN pretraining phase
     pretrain: str | None = None        # dae | rbm | None
     pretrain_epochs: int = 1

@@ -87,14 +87,17 @@ class SparseSgd:
         ids_sorted: bool = False,
     ) -> tuple[jax.Array, SparseSgdState]:
         lr = self.learning_rate * lr_scale
-        # scatter-add sums duplicates natively; no dedup pass needed
-        new_table = table.at[ids].add(-lr * rows, indices_are_sorted=ids_sorted)
+        # scatter-add sums duplicates natively; no dedup pass needed.
+        # bf16-stored tables (init_state table_dtype): the delta is computed
+        # f32 and rounded on write
+        new_table = table.at[ids].add(
+            (-lr * rows).astype(table.dtype), indices_are_sorted=ids_sorted
+        )
         for off, g in patches:
             d = table.shape[1]
             cur = jax.lax.dynamic_slice(new_table, (off, 0), (g.shape[0], d))
-            new_table = jax.lax.dynamic_update_slice(
-                new_table, cur - lr * g, (off, 0)
-            )
+            upd = (cur.astype(jnp.float32) - lr * g).astype(table.dtype)
+            new_table = jax.lax.dynamic_update_slice(new_table, upd, (off, 0))
         return new_table, state
 
 
@@ -128,18 +131,26 @@ class SparseAdagrad:
     ) -> tuple[jax.Array, SparseAdagradState]:
         lr = self.learning_rate * lr_scale
         if _pick_dense(self.mode, table):
-            g = jnp.zeros_like(table).at[ids].add(
+            # G scratch stays f32 even for bf16-stored tables: the
+            # duplicate-summed gradient and the accumulator math must not
+            # round (acc increments sit far below bf16 ulp); only the table
+            # write rounds (one cast, fused into the same elementwise loop)
+            g = jnp.zeros(table.shape, jnp.float32).at[ids].add(
                 rows, indices_are_sorted=ids_sorted
             )
             acc = state.acc + g * g
-            new_table = table - lr * g / (jnp.sqrt(acc) + self.eps)
+            new_table = (
+                table.astype(jnp.float32) - lr * g / (jnp.sqrt(acc) + self.eps)
+            ).astype(table.dtype)
         else:
             d = dedupe_grads(ids, rows, ids_sorted=ids_sorted)
             g2 = d.rows * d.rows
             acc = state.acc.at[d.ids].add(g2, indices_are_sorted=True)
             denom = jnp.sqrt(acc[d.ids]) + self.eps
             delta = -lr * d.rows / denom
-            new_table = table.at[d.ids].add(delta, indices_are_sorted=True)
+            new_table = table.at[d.ids].add(
+                delta.astype(table.dtype), indices_are_sorted=True
+            )
         # dense per-field patches: slice-wise elementwise updates.  Patch rows
         # receive no occurrence gradient above (disjoint id ranges), so acc and
         # table are untouched there before the patch applies.
@@ -148,7 +159,9 @@ class SparseAdagrad:
             vf = gf.shape[0]
             acc_f = jax.lax.dynamic_slice(acc, (off, 0), (vf, ddim)) + gf * gf
             tab_f = jax.lax.dynamic_slice(new_table, (off, 0), (vf, ddim))
-            tab_f = tab_f - lr * gf / (jnp.sqrt(acc_f) + self.eps)
+            tab_f = (
+                tab_f.astype(jnp.float32) - lr * gf / (jnp.sqrt(acc_f) + self.eps)
+            ).astype(new_table.dtype)
             acc = jax.lax.dynamic_update_slice(acc, acc_f, (off, 0))
             new_table = jax.lax.dynamic_update_slice(new_table, tab_f, (off, 0))
         return new_table, SparseAdagradState(acc=acc)

@@ -81,6 +81,7 @@ def fit(
     on_epoch: Callable[[int, TrainState, dict], None] | None = None,
     start_epoch: int = 0,
     train_source=None,
+    table_dtype: str = "f32",
 ) -> FitResult:
     """Train with per-epoch eval and early stop on held-out AUC.
 
@@ -115,7 +116,8 @@ def fit(
     )
     eval_step = make_eval_step(model, schema, split=split)
     if state is None:
-        state = init_state(model, schema, sparse_opt, dense_opt, seed=seed)
+        state = init_state(model, schema, sparse_opt, dense_opt, seed=seed,
+                           table_dtype=table_dtype)
 
     history: list[dict] = []
     best_auc, best_epoch, since_best = -np.inf, -1, 0

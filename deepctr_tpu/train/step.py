@@ -55,14 +55,26 @@ def init_state(
     sparse_opt,
     dense_opt,
     seed: int = 0,
+    table_dtype: str = "f32",
 ) -> TrainState:
+    """``table_dtype="bf16"`` stores the embedding table in bfloat16 (the
+    HBM-bandwidth knob, BENCH.md roofline): gathers and the full-table
+    Adagrad elementwise stream half the bytes; all math stays f32 (rows are
+    cast after the gather, updates are computed f32 and rounded on write;
+    the Adagrad accumulator stays f32 — its increments are far below bf16
+    ulp and would stagnate)."""
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     params = model.init_params(init_rng, schema)
+    table = params["table"]
+    if table_dtype == "bf16":
+        table = table.astype(jnp.bfloat16)
+    elif table_dtype != "f32":
+        raise ValueError(f"table_dtype {table_dtype!r} (f32|bf16)")
     return TrainState(
         step=jnp.zeros((), jnp.int32),
-        table=params["table"],
-        sparse_state=sparse_opt.init(params["table"]),
+        table=table,
+        sparse_state=sparse_opt.init(table),
         dense=params["dense"],
         dense_state=dense_opt.init(params["dense"]),
         rng=rng,
@@ -93,10 +105,18 @@ def make_train_step(
         mask = (ids != pad_id).astype(jnp.float32)
 
         if split is not None and split.has_small:
-            small_tabs = slice_small_tables(state.table, split)
+            # cast-early: with a bf16-stored table the small subtables (a few
+            # hundred KB) and the gathered big rows are promoted to f32 right
+            # after the memory-bound reads, so every downstream op (one-hot
+            # einsums, tower, grads) sees the f32-mode graph (no-op for f32)
+            small_tabs = [
+                t.astype(jnp.float32)
+                for t in slice_small_tables(state.table, split)
+            ]
             big_rows, sorted_ids, order = gather_big_rows_sorted(
                 state.table, ids, split
             )
+            big_rows = big_rows.astype(jnp.float32)
 
             def loss_fn(small_tabs_, big_rows_, dense_):
                 rows_ = assemble_rows(small_tabs_, big_rows_, ids, split)
@@ -118,7 +138,9 @@ def make_train_step(
             patches = grads_to_patches(g_small, split)
             ids_sorted = True
         else:
-            rows = jnp.take(state.table, ids, axis=0)  # [B, S, D]
+            rows = jnp.take(state.table, ids, axis=0).astype(
+                jnp.float32
+            )  # [B, S, D]
 
             def loss_fn(rows_, dense_):
                 logits = model.apply_rows(
@@ -210,13 +232,16 @@ def make_eval_step(
         mask = (ids != pad_id).astype(jnp.float32)
         if split is not None and split.has_small:
             rows = assemble_rows(
-                slice_small_tables(table, split),
-                gather_big_rows_sorted(table, ids, split)[0],
+                [t.astype(jnp.float32)
+                 for t in slice_small_tables(table, split)],
+                gather_big_rows_sorted(table, ids, split)[0].astype(
+                    jnp.float32
+                ),
                 ids,
                 split,
             )
         else:
-            rows = jnp.take(table, ids, axis=0)
+            rows = jnp.take(table, ids, axis=0).astype(jnp.float32)
         return model.apply_rows(dense, rows, mask, train=False, rng=None)
 
     if jit:

@@ -26,10 +26,19 @@ def _flatten(tree):
 
 def save_pytree(path: str, tree, extra: dict | None = None) -> None:
     """Atomic npz save of a pytree; ``extra`` merges into the JSON manifest
-    (used for checkpoint metadata: epochs completed, optimizer kind, ...)."""
+    (used for checkpoint metadata: epochs completed, optimizer kind, ...).
+
+    bfloat16 leaves (table_dtype="bf16" training) are stored as uint16 views
+    with a manifest marker — np.savez has no bfloat16 representation."""
     leaves, treedef = _flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    manifest = {"n": len(leaves), "treedef": treedef}
+    arrays, bf16 = {}, []
+    for i, x in enumerate(leaves):
+        a = np.asarray(x)
+        if a.dtype.kind == "V" or str(a.dtype) == "bfloat16":
+            a = a.view(np.uint16)
+            bf16.append(i)
+        arrays[f"leaf_{i}"] = a
+    manifest = {"n": len(leaves), "treedef": treedef, "bf16_leaves": bf16}
     if extra:
         manifest.update(extra)
     tmp = path + ".tmp"
@@ -41,10 +50,17 @@ def save_pytree(path: str, tree, extra: dict | None = None) -> None:
 def load_pytree(path: str, like):
     """Load leaves saved by save_pytree into the structure of ``like``."""
     import jax.numpy as jnp
+    import ml_dtypes
 
     with np.load(path, allow_pickle=False) as z:
         manifest = json.loads(str(z["manifest"]))
-        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(manifest["n"])]
+        bf16 = set(manifest.get("bf16_leaves", ()))
+        leaves = []
+        for i in range(manifest["n"]):
+            a = z[f"leaf_{i}"]
+            if i in bf16:
+                a = a.view(ml_dtypes.bfloat16)
+            leaves.append(jnp.asarray(a))
     _, treedef = jax.tree_util.tree_flatten(like)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -106,11 +122,20 @@ def load_scoring_params(path: str, dense_like):
             f"checkpoint {path} has {sc['n_dense']} dense leaves, model "
             f"expects {dense_def.num_leaves} — model/config mismatch"
         )
+    import ml_dtypes
+
+    bf16 = set(manifest.get("bf16_leaves", ()))
+
+    def leaf(z, i):
+        a = z[f"leaf_{i}"]
+        if i in bf16:
+            a = a.view(ml_dtypes.bfloat16)
+        return jnp.asarray(a)
+
     with np.load(path, allow_pickle=False) as z:
-        table = jnp.asarray(z[f"leaf_{sc['table_leaf']}"])
+        table = leaf(z, sc["table_leaf"])
         dense_leaves = [
-            jnp.asarray(z[f"leaf_{sc['dense_start'] + i}"])
-            for i in range(sc["n_dense"])
+            leaf(z, sc["dense_start"] + i) for i in range(sc["n_dense"])
         ]
     return table, jax.tree_util.tree_unflatten(dense_def, dense_leaves)
 

@@ -99,3 +99,42 @@ def test_scan_chunked_fit_matches_per_step(tiny_schema, tiny_dataset):
     for ha, hb in zip(res_a.history, res_b.history):
         np.testing.assert_allclose(ha["auc"], hb["auc"], rtol=1e-6)
         np.testing.assert_allclose(ha["train_loss"], hb["train_loss"], rtol=1e-4)
+
+
+def test_bf16_table_trains_and_checkpoints(tiny_schema, tiny_dataset, tmp_path):
+    """table_dtype='bf16' (the HBM-bandwidth roofline knob): training reaches
+    the same quality band as f32 (math stays f32 — only storage rounds), the
+    Adagrad accumulator stays f32, and a bf16 checkpoint round-trips."""
+    import optax
+
+    from deepctr_tpu.models import FMModel
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.train import fit
+    from deepctr_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    ds = tiny_dataset
+    n = ds.ids.shape[0]
+    tr, te = slice(0, int(0.8 * n)), slice(int(0.8 * n), n)
+
+    res = {}
+    for dt in ("f32", "bf16"):
+        r = fit(
+            FMModel(k=3), tiny_schema, ds.ids[tr], ds.labels[tr],
+            ds.ids[te], ds.labels[te],
+            sparse_opt=SparseAdagrad(0.1), dense_opt=optax.adagrad(0.05),
+            batch_size=128, epochs=3, seed=0, prefetch=False,
+            early_stop_patience=99, table_dtype=dt,
+        )
+        res[dt] = r
+    assert str(res["bf16"].state.table.dtype) == "bfloat16"
+    assert str(res["bf16"].state.sparse_state.acc.dtype) == "float32"
+    assert abs(res["bf16"].best_auc - res["f32"].best_auc) < 0.01
+
+    path = str(tmp_path / "bf16.ckpt")
+    save_train_state(path, res["bf16"].state, epoch=3, schema=tiny_schema)
+    back = load_train_state(path, res["bf16"].state)
+    assert str(back.table.dtype) == "bfloat16"
+    np.testing.assert_array_equal(
+        np.asarray(back.table, dtype=np.float32),
+        np.asarray(res["bf16"].state.table, dtype=np.float32),
+    )

@@ -287,7 +287,16 @@ def bench_full_schema(results, batch_sizes=(8192,)):
         _bench_full_schema_one(results, schema, B)
 
 
-def _bench_full_schema_one(results, schema, B):
+def bench_full_bf16(results):
+    """Headline config with table_dtype=bf16 (HBM roofline knob): halves the
+    gather + full-table elementwise streams; math stays f32."""
+    from deepctr_tpu.data import ipinyou_full_schema
+
+    _bench_full_schema_one(results, ipinyou_full_schema(), 8192,
+                           table_dtype="bf16")
+
+
+def _bench_full_schema_one(results, schema, B, table_dtype="f32"):
     import jax.numpy as jnp
     import optax
 
@@ -305,7 +314,8 @@ def _bench_full_schema_one(results, schema, B):
     sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
     from deepctr_tpu.ops.split_embed import make_split_plan
 
-    holder = {"state": init_state(model, schema, sopt, dopt, seed=0)}
+    holder = {"state": init_state(model, schema, sopt, dopt, seed=0,
+                                  table_dtype=table_dtype)}
     scan_step = make_scan_train_step(
         model, schema, sopt, dopt, split=make_split_plan(schema)
     )
@@ -325,11 +335,12 @@ def _bench_full_schema_one(results, schema, B):
         return time.perf_counter() - t0
 
     per_step = _marginal(run, T, 2 * T)
-    key = ("train_examples_per_s/fnn_full_vocab" if B == 8192
-           else f"train_examples_per_s/fnn_full_vocab_b{B}")
+    suffix = "" if table_dtype == "f32" else f"_{table_dtype}table"
+    key = (f"train_examples_per_s/fnn_full_vocab{suffix}" if B == 8192
+           else f"train_examples_per_s/fnn_full_vocab_b{B}{suffix}")
     results[key] = B / per_step
-    print(f"fnn@full-vocab B={B}: {per_step*1e3:.2f} ms/step -> "
-          f"{B/per_step:,.0f} ex/s")
+    print(f"fnn@full-vocab B={B} table={table_dtype}: "
+          f"{per_step*1e3:.2f} ms/step -> {B/per_step:,.0f} ex/s")
 
 
 def main():
@@ -360,6 +371,8 @@ def main():
         bench_models(results)
     if "full" in sections:
         bench_full_schema(results)
+    if "fullbf16" in sections:
+        bench_full_bf16(results)
     if "batch" in sections:
         bench_full_schema(results, batch_sizes=(16384, 32768))
     if "lookup" in sections:
