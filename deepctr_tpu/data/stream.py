@@ -122,8 +122,30 @@ class StreamSource:
         return parse_yx_lines(lines, self.schema)
 
     def _chunks(self, paths: Sequence[str]):
-        """Stream (labels, ids) arrays, one bounded-size chunk at a time."""
+        """Stream (labels, ids) arrays, one bounded-size chunk at a time.
+
+        ``.npz`` shards (written by data/cache.py) skip the text parse
+        entirely — the multi-epoch fast lane: text is parsed once into cache
+        shards, every epoch streams the packed arrays.  Residency for npz
+        shards is one shard + the buffer (keep shards reasonably sized)."""
         for path in paths:
+            if path.endswith(".npz"):
+                from .cache import read_cache
+
+                ids, labels, sch = read_cache(path)
+                if sch.num_slots != self.schema.num_slots:
+                    raise ValueError(
+                        f"cache shard {path} was packed with a different "
+                        f"schema ({sch.num_slots} slots vs "
+                        f"{self.schema.num_slots})"
+                    )
+                rows_per_chunk = max(1, self.chunk_bytes // (4 * ids.shape[1]))
+                for s in range(0, ids.shape[0], rows_per_chunk):
+                    chunk_ids = ids[s : s + rows_per_chunk]
+                    self.stats.chunks_parsed += 1
+                    yield labels[s : s + rows_per_chunk], chunk_ids
+                del ids, labels
+                continue
             with open(path, "rb") as f:
                 tail = b""
                 while True:

@@ -192,6 +192,37 @@ def test_stream_criteo_format(tmp_path):
     assert sorted(got_y.tolist()) == sorted(labels.tolist())
 
 
+def test_stream_npz_cache_shards(tmp_path, small_ds):
+    """.npz cache shards stream without re-parsing text (the multi-epoch
+    fast lane): same multiset coverage as the text shards."""
+    from deepctr_tpu.data.cache import write_cache
+
+    ds = small_ds
+    paths = []
+    per = 3000
+    for i in range(3):
+        sl = slice(i * per, (i + 1) * per)
+        p = str(tmp_path / f"shard_{i}.cache.npz")
+        write_cache(p, ds.ids[sl], ds.labels[sl], ds.schema)
+        paths.append(p)
+    src = StreamSource(paths=paths, schema=ds.schema, batch_size=128,
+                       buffer_rows=512, chunk_bytes=8192,
+                       drop_remainder=False)
+    got_ids, got_y = [], []
+    for b in src.batches(0):
+        keep = b.weights > 0
+        got_ids.append(b.ids[keep])
+        got_y.append(b.labels[keep])
+    got_ids = np.concatenate(got_ids)
+    got_y = np.concatenate(got_y)
+    assert _row_multiset(got_ids, got_y) == _row_multiset(ds.ids, ds.labels)
+    # a schema mismatch is an error, not silent garbage
+    other = make_schema([("z", 5)])
+    bad = StreamSource(paths=paths, schema=other, batch_size=128)
+    with pytest.raises(ValueError, match="different"):
+        next(iter(bad.batches(0)))
+
+
 def test_stream_featindex_format(tmp_path):
     """fmt='yx-featindex': raw make-ipinyou-data indices remapped in-stream."""
     from deepctr_tpu.data import featindex as fidx

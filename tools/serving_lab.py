@@ -113,6 +113,29 @@ def main():
         big = _dequant(gather_big_rows_sorted(table, ids, plan)[0])
         return tower(assemble_rows(small, big, ids, plan), ids)
 
+    # int8 rows packed into int32 WORDS (VERDICT r2 ask #8): row = 11 int8
+    # payload + 1 pad byte + 4 scale bytes = 16 bytes = [V, 4] int32, so the
+    # big-field gather moves 32-bit lanes; unpack in-register after.
+    pad8 = jnp.concatenate(
+        [t8, jnp.zeros((t8.shape[0], 1), jnp.int8), scale_bytes], axis=1
+    )  # [V, 16] int8
+    t8w = jax.lax.bitcast_convert_type(
+        pad8.reshape(-1, 4, 4), jnp.int32
+    ).reshape(-1, 4)  # [V, 4] int32
+
+    def _dequant_words(words):
+        b = jax.lax.bitcast_convert_type(
+            words.reshape(*words.shape[:-1], 4, 1), jnp.int8
+        ).reshape(*words.shape[:-1], 16)
+        q = b[..., :D].astype(jnp.float32)
+        s = jax.lax.bitcast_convert_type(b[..., 12:], jnp.float32)
+        return q * s[..., None]
+
+    def fwd_int8_words(table, ids):
+        small = [_dequant_words(s) for s in slice_small_tables(table, plan)]
+        big = _dequant_words(gather_big_rows_sorted(table, ids, plan)[0])
+        return tower(assemble_rows(small, big, ids, plan), ids)
+
     variants = [
         ("f32 (reference)", fwd_f32, t32),
         ("bf16 current", fwd_bf16_current, t16),
@@ -120,6 +143,7 @@ def main():
         ("int8 current", fwd_int8_current, t8),
         ("int8 sorted+early", fwd_int8_sorted, t8),
         ("int8 packed-scale", fwd_int8_packed, t8p),
+        ("int8 word-packed", fwd_int8_words, t8w),
     ]
     only = sys.argv[1:]
     if only:
