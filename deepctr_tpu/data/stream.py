@@ -211,17 +211,25 @@ class StreamSource:
 
         live = refill()
         ones = np.ones(B, np.float32)
+        # draw several batches per buffer round (at most half the buffer):
+        # same uniform sample-without-replacement semantics, but the O(K)
+        # sampling/compaction cost amortises over `draws` batches
+        draws = max(1, min(4, K // (2 * B)))
+        R = draws * B
         while live and filled == K:
-            sel = rng.choice(K, B, replace=False)
-            self.stats.rows_emitted += B
-            yield Batch(buf_ids[sel].copy(), buf_y[sel].copy(), ones.copy())
-            # compact: move non-emitted tail rows into the holes below K-B
+            sel = rng.choice(K, R, replace=False)
+            for j in range(draws):
+                pick = sel[j * B : (j + 1) * B]
+                self.stats.rows_emitted += B
+                yield Batch(buf_ids[pick].copy(), buf_y[pick].copy(),
+                            ones.copy())
+            # compact: move non-emitted tail rows into the holes below K-R
             sel.sort()
-            tail = np.setdiff1d(np.arange(K - B, K), sel, assume_unique=True)
-            holes = sel[sel < K - B]
+            tail = np.setdiff1d(np.arange(K - R, K), sel, assume_unique=True)
+            holes = sel[sel < K - R]
             buf_ids[holes] = buf_ids[tail[: len(holes)]]
             buf_y[holes] = buf_y[tail[: len(holes)]]
-            filled = K - B
+            filled = K - R
             live = refill()
 
         # drain: the residual buffer gets a full shuffle, then emits in order

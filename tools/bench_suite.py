@@ -210,6 +210,19 @@ def bench_stream(results):
     print(f"stream: {rows} rows in {dt:.2f}s -> {rows/dt:,.0f} rows/s "
           f"({size_mb/dt:.0f} MB/s text)")
 
+    # npz cache shards (multi-epoch fast lane: parse once, stream packed)
+    from deepctr_tpu.data.cache import cache_text_file
+
+    npz_paths = [cache_text_file(p, schema) for p in paths]
+    src2 = StreamSource(paths=npz_paths, schema=schema, batch_size=8192,
+                        buffer_rows=1 << 18, seed=0)
+    t0 = time.perf_counter()
+    rows2 = sum(b.ids.shape[0] for b in src2.batches(0))
+    dt2 = time.perf_counter() - t0
+    results["stream_npz_rows_per_s"] = rows2 / dt2
+    print(f"stream npz: {rows2} rows in {dt2:.2f}s -> "
+          f"{rows2/dt2:,.0f} rows/s")
+
 
 def bench_serving(results):
     """Scorer (inference) throughput at full-iPinYou vocab per quant mode.
