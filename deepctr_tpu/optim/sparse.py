@@ -113,6 +113,11 @@ class SparseAdagrad:
     eps: float = 1e-6
     initial_accumulator: float = 0.0
     mode: str = "auto"  # auto | dense | sorted
+    # dtype of the dense-mode gradient scratch G (roofline lab knob): bf16
+    # halves the scatter's write stream and the elementwise's read of G, at
+    # the cost of bf16 rounding in the duplicate-id accumulation (measured
+    # in BENCH.md roofline; default keeps exact f32 accumulation)
+    scratch_dtype: str = "f32"  # f32 | bf16
 
     def init(self, table: jax.Array) -> SparseAdagradState:
         return SparseAdagradState(
@@ -131,13 +136,15 @@ class SparseAdagrad:
     ) -> tuple[jax.Array, SparseAdagradState]:
         lr = self.learning_rate * lr_scale
         if _pick_dense(self.mode, table):
-            # G scratch stays f32 even for bf16-stored tables: the
+            # G scratch defaults to f32 even for bf16-stored tables: the
             # duplicate-summed gradient and the accumulator math must not
             # round (acc increments sit far below bf16 ulp); only the table
-            # write rounds (one cast, fused into the same elementwise loop)
-            g = jnp.zeros(table.shape, jnp.float32).at[ids].add(
-                rows, indices_are_sorted=ids_sorted
-            )
+            # write rounds (one cast, fused into the same elementwise loop).
+            # scratch_dtype="bf16" is the measured roofline lab variant.
+            sdt = jnp.bfloat16 if self.scratch_dtype == "bf16" else jnp.float32
+            g = jnp.zeros(table.shape, sdt).at[ids].add(
+                rows.astype(sdt), indices_are_sorted=ids_sorted
+            ).astype(jnp.float32)
             acc = state.acc + g * g
             new_table = (
                 table.astype(jnp.float32) - lr * g / (jnp.sqrt(acc) + self.eps)
