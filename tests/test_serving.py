@@ -81,11 +81,12 @@ def test_int8_table_memory(trained, tiny_schema_mod):
         dense={k: np.asarray(v) for k, v in trained.dense.items()},
         quantize="int8",
     )
-    assert s._table.dtype == np.int8
-    # packed-scale layout: D quantized bytes + 4 scale bytes per row, i.e.
-    # exactly the same footprint as separate scales, one gather instead of two
+    assert s._table.dtype == np.int32
+    # word-packed layout: D quantized bytes + pad + 4 scale bytes per row,
+    # bitcast to int32 words so the gather moves 32-bit lanes; footprint is
+    # within 3 pad bytes of the separate-scales layout, one gather total
     d = np.asarray(trained.table).shape[1]
-    assert s._table.shape[1] == d + 4
+    assert s._table.shape[1] * 4 == d + (-(d + 4) % 4) + 4
 
 
 def test_int8_packed_scale_roundtrip(trained, tiny_schema_mod):
@@ -100,9 +101,10 @@ def test_int8_packed_scale_roundtrip(trained, tiny_schema_mod):
         quantize="int8",
     )
     d = t.shape[1]
-    packed = np.asarray(s._table)
+    pad = -(d + 4) % 4
+    packed = np.asarray(s._table).view(np.int8).reshape(t.shape[0], -1)
     scales = np.maximum(np.abs(t).max(axis=1, keepdims=True), 1e-12) / 127.0
-    recovered = packed[:, d:].copy().view(np.float32)
+    recovered = packed[:, d + pad:].copy().view(np.float32)
     np.testing.assert_array_equal(recovered, scales.astype(np.float32))
     # and the payload dequantizes to within one quantization step
     deq = packed[:, :d].astype(np.float32) * recovered
