@@ -91,9 +91,15 @@ def main():
     # (tools/step_breakdown.py) — same model math, kernel-private RNG stream
     model = make_fnn(schema, k=K, mlp=MlpSpec(hidden=HIDDEN, dropout=0.5),
                      use_pallas=True)
-    sopt = SparseAdagrad(0.05)
+    # production configuration (round 3): bf16 table storage + bf16 gradient
+    # scratch, f32 math/accumulators — halves the HBM streams of the three
+    # bandwidth-bound terms (gather, scatter write, full-table Adagrad).
+    # Measured 2.04 vs 2.80 ms/step vs all-f32 with ΔAUC -0.0001 on the
+    # quality gate (tools/roofline_lab.py --quality; tests/test_train.py
+    # gates bf16 training AUC in CI).  BENCH.md records the f32 number too.
+    sopt = SparseAdagrad(0.05, scratch_dtype="bf16")
     dopt = optax.adagrad(0.02)
-    state = init_state(model, schema, sopt, dopt, seed=0)
+    state = init_state(model, schema, sopt, dopt, seed=0, table_dtype="bf16")
 
     # one jitted lax.scan over all measured steps: wall time == device time,
     # immune to async-dispatch queueing artifacts (a naive per-step host

@@ -301,15 +301,20 @@ def bench_full_schema(results, batch_sizes=(8192,)):
 
 
 def bench_full_bf16(results):
-    """Headline config with table_dtype=bf16 (HBM roofline knob): halves the
-    gather + full-table elementwise streams; math stays f32."""
+    """Headline config with the bf16 HBM roofline knobs (math stays f32):
+    table_dtype=bf16 halves the gather + full-table elementwise streams;
+    adding scratch_dtype=bf16 (the round-3 production config, bench.py)
+    also halves the scatter's write stream."""
     from deepctr_tpu.data import ipinyou_full_schema
 
-    _bench_full_schema_one(results, ipinyou_full_schema(), 8192,
-                           table_dtype="bf16")
+    schema = ipinyou_full_schema()
+    _bench_full_schema_one(results, schema, 8192, table_dtype="bf16")
+    _bench_full_schema_one(results, schema, 8192, table_dtype="bf16",
+                           scratch_dtype="bf16")
 
 
-def _bench_full_schema_one(results, schema, B, table_dtype="f32"):
+def _bench_full_schema_one(results, schema, B, table_dtype="f32",
+                           scratch_dtype="f32"):
     import jax.numpy as jnp
     import optax
 
@@ -324,7 +329,8 @@ def _bench_full_schema_one(results, schema, B, table_dtype="f32"):
     # fused Pallas tower: the headline configuration (see bench.py / BENCH.md)
     model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5),
                      use_pallas=True)
-    sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
+    sopt = SparseAdagrad(0.05, scratch_dtype=scratch_dtype)
+    dopt = optax.adagrad(0.02)
     from deepctr_tpu.ops.split_embed import make_split_plan
 
     holder = {"state": init_state(model, schema, sopt, dopt, seed=0,
@@ -349,6 +355,8 @@ def _bench_full_schema_one(results, schema, B, table_dtype="f32"):
 
     per_step = _marginal(run, T, 2 * T)
     suffix = "" if table_dtype == "f32" else f"_{table_dtype}table"
+    if scratch_dtype != "f32":
+        suffix += f"_{scratch_dtype}scratch"
     key = (f"train_examples_per_s/fnn_full_vocab{suffix}" if B == 8192
            else f"train_examples_per_s/fnn_full_vocab_b{B}{suffix}")
     results[key] = B / per_step
