@@ -261,13 +261,24 @@ def init_sharded_state(
     dense_opt,
     mesh: Mesh,
     seed: int = 0,
+    table_dtype: str = "f32",
 ) -> ShardedTrainState:
-    """Initialise params and place them: table row-sharded, dense replicated."""
+    """Initialise params and place them: table row-sharded, dense replicated.
+
+    ``table_dtype="bf16"`` stores the shards in bfloat16 (same HBM/wire knob
+    as train.step.init_state: gathers, the all_gathered small subtables and
+    the full-shard Adagrad elementwise stream half the bytes; all math stays
+    f32 — the step casts rows after the exchange/gather)."""
     n = int(np.prod(list(mesh.shape.values())))
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     params = model.init_params(init_rng, schema)
-    stored = pack_table(params["table"], n)
+    table = params["table"]
+    if table_dtype == "bf16":
+        table = table.astype(jnp.bfloat16)
+    elif table_dtype != "f32":
+        raise ValueError(f"table_dtype {table_dtype!r} (f32|bf16)")
+    stored = pack_table(table, n)
     sparse_state = sparse_opt.init(stored)
     dense_state = dense_opt.init(params["dense"])
     shd = NamedSharding(mesh, P(DATA_AXIS))
@@ -410,9 +421,12 @@ def make_sharded_train_step(
             buckets = _bucket_by_owner(flat, n, sentinel, cap)
             occ_rows, recv = _exchange_lookup(state.table, buckets, cap,
                                               wire_dtype)
+            # cast-early for bf16-stored shards (train.table_dtype): all
+            # differentiable math runs f32; only storage/wire are narrow
+            occ_rows = occ_rows.astype(jnp.float32)
         else:  # every field is in the matmul class: no exchange at all
             buckets = None
-            occ_rows = jnp.zeros((0, d), state.table.dtype)
+            occ_rows = jnp.zeros((0, d), jnp.float32)
             recv = jnp.zeros((n, 0), jnp.int32)
 
         def make_loss(rows_builder):
@@ -436,9 +450,11 @@ def make_sharded_train_step(
 
         if use_split:
             small_tabs, id_vecs = _gather_small_tables(state.table, split, n)
+            # (bf16 tables all_gather the narrow subtables, then promote)
+            small_tabs = [t.astype(jnp.float32) for t in small_tabs]
             big_rows = occ_rows.reshape(b_loc if m else 0, len(split.big_slots), d)
             if m == 0:
-                big_rows = jnp.zeros((b_loc, 0, d), state.table.dtype)
+                big_rows = jnp.zeros((b_loc, 0, d), jnp.float32)
 
             def build_rows(small_tabs_, big_rows_):
                 return assemble_rows(
@@ -476,7 +492,7 @@ def make_sharded_train_step(
             dropped = buckets.dropped
         else:
             occ_local_ids = jnp.zeros((0,), jnp.int32)
-            occ_grads = jnp.zeros((0, d), state.table.dtype)
+            occ_grads = jnp.zeros((0, d), jnp.float32)
             dropped = jnp.zeros((), jnp.int32)
         table, sparse_state = sparse_opt.update(
             state.table, state.sparse_state, occ_local_ids, occ_grads,
@@ -592,10 +608,12 @@ def make_sharded_eval_step(model: Model, schema: Schema, mesh: Mesh,
         if m > 0:
             buckets = _bucket_by_owner(exch_ids.reshape(-1), n, R, cap)
             occ_rows, _ = _exchange_lookup(table, buckets, cap, wire_dtype)
+            occ_rows = occ_rows.astype(jnp.float32)  # bf16-stored shards
         else:
-            occ_rows = jnp.zeros((b_loc, 0, d), table.dtype)
+            occ_rows = jnp.zeros((b_loc, 0, d), jnp.float32)
         if use_split:
             small_tabs, id_vecs = _gather_small_tables(table, split, n)
+            small_tabs = [t.astype(jnp.float32) for t in small_tabs]
             rows = assemble_rows(
                 small_tabs,
                 occ_rows.reshape(b_loc, len(split.big_slots), d),

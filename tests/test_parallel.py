@@ -577,3 +577,67 @@ def test_sharded_lr_scale_matches_single_device(mesh, tiny_schema, tiny_dataset)
     )
     np.testing.assert_allclose(np.asarray(st.table), tableN, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_sharded_bf16_table_matches_single_device(mesh, tiny_schema,
+                                                  tiny_dataset):
+    """table_dtype='bf16' under sharding (the round-3 headline storage knob):
+    the sharded bf16-stored trajectory must equal the single-device
+    bf16-stored trajectory — same rounding points (f32 math, bf16 row
+    storage), split plan on so both the exchange and the all_gathered
+    small-subtable paths are exercised."""
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.ops.split_embed import make_split_plan
+
+    model = make_fnn(tiny_schema, k=3,
+                     mlp=MlpSpec(hidden=(16,), dropout=0.0))
+    plan = make_split_plan(tiny_schema, threshold=9)
+    assert plan.has_small and plan.big_slots
+    sopt, dopt = SparseAdagrad(0.1, scratch_dtype="bf16"), optax.sgd(0.05)
+    B, steps = 64, 4
+    ds = tiny_dataset
+    batches = [
+        (ds.ids[i * B:(i + 1) * B], ds.labels[i * B:(i + 1) * B],
+         np.ones(B, np.float32))
+        for i in range(steps)
+    ]
+
+    st = init_state(model, tiny_schema, sopt, dopt, seed=3,
+                    table_dtype="bf16")
+    assert st.table.dtype == jnp.bfloat16
+    step1 = make_train_step(model, tiny_schema, sopt, dopt, jit=False,
+                            split=plan)
+    losses1 = []
+    for ids, y, w in batches:
+        st, m = step1(st, ids, y, w)
+        losses1.append(float(m.loss))
+
+    sst = init_sharded_state(model, tiny_schema, sopt, dopt, mesh, seed=3,
+                             table_dtype="bf16")
+    assert sst.table.dtype == jnp.bfloat16
+    # accumulator stays f32 (bf16 increments would stagnate)
+    assert jax.tree_util.tree_leaves(sst.sparse_state)[0].dtype == jnp.float32
+    stepN = make_sharded_train_step(model, tiny_schema, sopt, dopt, mesh,
+                                    capacity_factor=8.0, split=plan)
+    lossesN = []
+    for ids, y, w in batches:
+        ids_d, y_d, w_d = shard_batch_arrays(mesh, ids, y, w)
+        sst, (loss, dropped) = stepN(sst, ids_d, y_d, w_d)
+        lossesN.append(float(loss))
+        assert int(dropped) == 0
+
+    np.testing.assert_allclose(losses1, lossesN, rtol=1e-3, atol=1e-4)
+    tableN = unpack_table(sst.table, tiny_schema.padded_vocab_size, 8)
+    assert tableN.dtype == jnp.bfloat16
+    # bf16 storage rounds at the same points on both paths -> near-equal
+    np.testing.assert_allclose(
+        np.asarray(st.table, np.float32), np.asarray(tableN, np.float32),
+        rtol=1e-2, atol=1e-3,
+    )
+
+    # sharded eval consumes the bf16 shards directly
+    ev = make_sharded_eval_step(model, tiny_schema, mesh, capacity_factor=8.0,
+                                split=plan)
+    (ids_d,) = shard_batch_arrays(mesh, ds.ids[:64])
+    logits = ev(sst.table, sst.dense, ids_d)
+    assert np.isfinite(np.asarray(logits)).all()

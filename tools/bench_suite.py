@@ -300,6 +300,14 @@ def bench_full_schema(results, batch_sizes=(8192,)):
         _bench_full_schema_one(results, schema, B)
 
 
+def bench_batch_bf16(results):
+    """Peak-throughput probe: biggest batch x the bf16 storage knobs."""
+    from deepctr_tpu.data import ipinyou_full_schema
+
+    _bench_full_schema_one(results, ipinyou_full_schema(), 32768,
+                           table_dtype="bf16", scratch_dtype="bf16")
+
+
 def bench_full_bf16(results):
     """Headline config with the bf16 HBM roofline knobs (math stays f32):
     table_dtype=bf16 halves the gather + full-table elementwise streams;
@@ -396,6 +404,8 @@ def main():
         bench_full_bf16(results)
     if "batch" in sections:
         bench_full_schema(results, batch_sizes=(16384, 32768))
+    if "batchbf16" in sections:
+        bench_batch_bf16(results)
     if "lookup" in sections:
         bench_lookup(results)
     if "serving" in sections:
