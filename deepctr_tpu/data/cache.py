@@ -21,9 +21,14 @@ from .schema import Schema
 _VERSION = 1
 
 
-def write_cache(path: str, ids: np.ndarray, labels: np.ndarray, schema: Schema) -> None:
+def write_cache(path: str, ids: np.ndarray, labels: np.ndarray, schema: Schema,
+                compress: bool = False) -> None:
+    """``compress=False`` (default since round 4): zlib inflate on every
+    epoch's read was the streaming fast-lane's bottleneck (~2.1M rows/s);
+    uncompressed npz reads at page-cache/memcpy speed.  Pass True to trade
+    read speed for disk when archiving."""
     tmp = path + ".tmp.npz"
-    np.savez_compressed(
+    (np.savez_compressed if compress else np.savez)(
         tmp,
         version=np.int64(_VERSION),
         ids=ids.astype(np.int32),

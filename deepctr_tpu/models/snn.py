@@ -97,18 +97,24 @@ def field_sampling(schema: Schema) -> FieldSampling:
 
 
 def sample_negatives(
-    rng: jax.Array, fs: FieldSampling, batch: int, m: int
+    rng: jax.Array, fs: FieldSampling, batch: int, m: int, u=None
 ) -> jax.Array:
     """Draw ``m`` uniform ids per field per example -> int32[B, F*m].
 
     The reference samples inactive units; drawing uniformly may hit the
     active unit with probability 1/vocab — negligible and harmless (it then
     just appears as both a positive and a candidate), keeping shapes static.
+
+    ``u`` (float[B, F, m] uniforms) overrides the on-device draw — the
+    matched-noise parity hook: feeding the SAME uniforms to this and to the
+    NumPy oracle makes the two pretrainers' trajectories comparable
+    (tests/test_pretrain.py, PARITY.md 'pretrain-matched' rows).
     """
     F = fs.field_offset.shape[0]
-    u = jax.random.uniform(rng, (batch, F, m))
+    if u is None:
+        u = jax.random.uniform(rng, (batch, F, m))
     ids = fs.field_offset[None, :, None] + jnp.floor(
-        u * fs.field_vocab[None, :, None].astype(jnp.float32)
+        jnp.asarray(u) * fs.field_vocab[None, :, None].astype(jnp.float32)
     ).astype(jnp.int32)
     return ids.reshape(batch, F * m)
 
@@ -134,23 +140,34 @@ class DaePretrainer:
     corruption: float = 0.3
 
     def loss_and_grads(
-        self, table, dense, batch_ids, pad_id, fs: FieldSampling, rng
+        self, table, dense, batch_ids, pad_id, fs: FieldSampling, rng,
+        noise=None,
     ):
         """Returns (loss, occ_ids [B*(S+Fm)], occ_grads, dense_grads).
 
         dense = {"b1": [h1], "vbias": [V+1]} — vbias is dense-updated (it is
         one float per feature; negligible memory).
+
+        ``noise`` = {"u_keep": [B,S], "u_neg": [B,F,m]} uniforms override the
+        on-device draws (matched-noise parity vs the NumPy oracle).
         """
-        r_drop, r_neg = jax.random.split(rng)
         B, S = batch_ids.shape
         mask = (batch_ids != pad_id).astype(jnp.float32)
-        keep = (
-            jax.random.bernoulli(r_drop, 1.0 - self.corruption, (B, S)).astype(
-                jnp.float32
+        if noise is None:
+            r_drop, r_neg = jax.random.split(rng)
+            keep = (
+                jax.random.bernoulli(
+                    r_drop, 1.0 - self.corruption, (B, S)
+                ).astype(jnp.float32)
+                * mask
             )
-            * mask
-        )
-        neg_ids = sample_negatives(r_neg, fs, B, self.m)          # [B, Fm]
+            neg_ids = sample_negatives(r_neg, fs, B, self.m)      # [B, Fm]
+        else:
+            keep = (
+                jnp.asarray(noise["u_keep"]) < 1.0 - self.corruption
+            ).astype(jnp.float32) * mask
+            neg_ids = sample_negatives(None, fs, B, self.m,
+                                       u=noise["u_neg"])
         cand_ids = jnp.concatenate([batch_ids, neg_ids], axis=1)  # [B, S+Fm]
         # targets: active slots -> 1 (pad -> weight 0), negatives -> 0
         targets = jnp.concatenate([mask, jnp.zeros_like(neg_ids, jnp.float32)], 1)
@@ -201,11 +218,17 @@ class RbmPretrainer:
 
     m: int = 2
 
-    def loss_and_grads(self, table, dense, batch_ids, pad_id, fs: FieldSampling, rng):
-        r_neg, r_h = jax.random.split(rng)
+    def loss_and_grads(self, table, dense, batch_ids, pad_id, fs: FieldSampling,
+                       rng, noise=None):
+        """``noise`` = {"u_neg": [B,F,m], "u_h0": [B,h1]} uniforms override
+        the on-device draws (matched-noise parity vs the NumPy oracle)."""
         B, S = batch_ids.shape
         mask = (batch_ids != pad_id).astype(jnp.float32)
-        neg_ids = sample_negatives(r_neg, fs, B, self.m)
+        if noise is None:
+            r_neg, r_h = jax.random.split(rng)
+            neg_ids = sample_negatives(r_neg, fs, B, self.m)
+        else:
+            neg_ids = sample_negatives(None, fs, B, self.m, u=noise["u_neg"])
         cand_ids = jnp.concatenate([batch_ids, neg_ids], axis=1)   # [B, C]
         v0 = jnp.concatenate([mask, jnp.zeros_like(neg_ids, jnp.float32)], 1)
         cweight = jnp.concatenate([mask, jnp.ones_like(neg_ids, jnp.float32)], 1)
@@ -215,7 +238,10 @@ class RbmPretrainer:
         b1 = dense["b1"]
 
         h0p = jax.nn.sigmoid(jnp.einsum("bc,bch->bh", v0 * cweight, W_cand) + b1)
-        h0 = jax.random.bernoulli(r_h, h0p).astype(jnp.float32)
+        if noise is None:
+            h0 = jax.random.bernoulli(r_h, h0p).astype(jnp.float32)
+        else:
+            h0 = (jnp.asarray(noise["u_h0"]) < h0p).astype(jnp.float32)
         v1p = jax.nn.sigmoid(jnp.einsum("bh,bch->bc", h0, W_cand) + c_cand)
         v1p = v1p * cweight
         h1p = jax.nn.sigmoid(jnp.einsum("bc,bch->bh", v1p, W_cand) + b1)

@@ -129,6 +129,7 @@ def comm_volume(
     dense_param_bytes: int = 0,
     row_dim: int = 11,
     exchange_bytes: int = 4,
+    table_bytes: int = 4,
 ) -> CommVolume:
     """Closed-form per-device per-step exchange volumes of the sharded step.
 
@@ -136,6 +137,10 @@ def comm_volume(
     all_to_all); with a SplitPlan only ``split.big_slots`` do.
     ``exchange_bytes``: per-element width of the row/grad all_to_all payload
     (4 = f32, 2 = the bf16 exchange knob ``train.exchange_dtype=bf16``).
+    ``table_bytes``: storage width of the table shards (train.table_dtype) —
+    the small-field subtables all_gather in the STORED dtype (the step
+    promotes to f32 after the gather), while their psum'd gradients are
+    always f32.
     """
     n = n_devices
     s_exch = (
@@ -146,7 +151,8 @@ def comm_volume(
     cap = exchange_capacity(m, n, capacity_factor) if s_exch else 0
     d = row_dim
     small_rows = _small_field_rows(schema, split, n)
-    small_bytes = sum(n * cnt * d * 4 for cnt in small_rows)
+    small_bytes = sum(n * cnt * d * table_bytes for cnt in small_rows)
+    small_psum_bytes = sum(n * cnt * d * 4 for cnt in small_rows)
     return CommVolume(
         n_devices=n,
         batch_per_device=batch_per_device,
@@ -155,7 +161,7 @@ def comm_volume(
         rows_a2a_fwd=n * cap * d * exchange_bytes,
         rows_a2a_bwd=n * cap * d * exchange_bytes,
         small_allgather=small_bytes,
-        small_psum=small_bytes,
+        small_psum=small_psum_bytes,
         dense_psum=dense_param_bytes,
     )
 

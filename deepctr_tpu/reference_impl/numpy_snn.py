@@ -61,14 +61,21 @@ class NumpyDae:
         self.rng = rng
         self.offsets, self.vocabs = _field_arrays(schema)
 
-    def train_batch(self, ids) -> float:
+    def train_batch(self, ids, noise=None) -> float:
+        """``noise`` = {"u_keep": [B,S], "u_neg": [B,F,m]} uniforms override
+        the host draws (matched-noise parity vs models.snn.DaePretrainer)."""
         B, S = ids.shape
         mask = (ids != self.schema.pad_id).astype(np.float32)
-        keep = (
-            (self.rng.random((B, S)) < 1.0 - self.corruption).astype(np.float32)
-            * mask
-        )
-        neg = _sample_negatives(self.rng, self.offsets, self.vocabs, B, self.m)
+        if noise is None:
+            u_keep = self.rng.random((B, S))
+            u_neg = self.rng.random((B, len(self.offsets), self.m))
+        else:
+            u_keep, u_neg = noise["u_keep"], noise["u_neg"]
+        keep = (u_keep < 1.0 - self.corruption).astype(np.float32) * mask
+        neg = (
+            self.offsets[None, :, None]
+            + np.floor(u_neg * self.vocabs[None, :, None]).astype(np.int64)
+        ).reshape(B, len(self.offsets) * self.m)
         cand = np.concatenate([ids, neg], axis=1)                  # [B, C]
         targets = np.concatenate([mask, np.zeros_like(neg, np.float32)], 1)
         cweight = np.concatenate([mask, np.ones_like(neg, np.float32)], 1)
@@ -117,10 +124,19 @@ class NumpyRbm:
         self.rng = rng
         self.offsets, self.vocabs = _field_arrays(schema)
 
-    def train_batch(self, ids) -> float:
+    def train_batch(self, ids, noise=None) -> float:
+        """``noise`` = {"u_neg": [B,F,m], "u_h0": [B,h1]} uniforms override
+        the host draws (matched-noise parity vs models.snn.RbmPretrainer)."""
         B, S = ids.shape
         mask = (ids != self.schema.pad_id).astype(np.float32)
-        neg = _sample_negatives(self.rng, self.offsets, self.vocabs, B, self.m)
+        if noise is None:
+            u_neg = self.rng.random((B, len(self.offsets), self.m))
+        else:
+            u_neg = noise["u_neg"]
+        neg = (
+            self.offsets[None, :, None]
+            + np.floor(u_neg * self.vocabs[None, :, None]).astype(np.int64)
+        ).reshape(B, len(self.offsets) * self.m)
         cand = np.concatenate([ids, neg], axis=1)                   # [B, C]
         v0 = np.concatenate([mask, np.zeros_like(neg, np.float32)], 1)
         cweight = np.concatenate([mask, np.ones_like(neg, np.float32)], 1)
@@ -128,7 +144,8 @@ class NumpyRbm:
         W = self.table[cand]                                        # [B, C, h]
         c = self.vbias[cand]                                        # [B, C]
         h0p = _sigmoid(np.einsum("bc,bch->bh", v0 * cweight, W) + self.b1)
-        h0 = (self.rng.random(h0p.shape) < h0p).astype(np.float32)
+        u_h0 = self.rng.random(h0p.shape) if noise is None else noise["u_h0"]
+        h0 = (u_h0 < h0p).astype(np.float32)
         v1p = _sigmoid(np.einsum("bh,bch->bc", h0, W) + c) * cweight
         h1p = _sigmoid(np.einsum("bc,bch->bh", v1p, W) + self.b1)
 

@@ -25,7 +25,8 @@ class Scorer:
 
     ``quantize`` compresses the embedding table for serving replicas:
     - ``"bf16"``: 2x smaller, negligible accuracy impact;
-    - ``"int8"``: 4x smaller, row-wise absmax scales; each row (D int8
+    - ``"int8"``: ~2.6-2.75x smaller (D + pad + 4 scale bytes per row vs
+      4D f32), row-wise absmax scales; each row (D int8
       payload + pad + 4 scale bytes) is bitcast into int32 WORDS so the
       big-field gather moves 32-bit lanes — the fastest serving mode
       measured (34M ex/s vs f32's 20M, tools/serving_lab.py), not just the

@@ -260,20 +260,27 @@ def make_pretrain_step(
     sparse_opt,
     dense_lr: float,
     jit: bool = True,
+    with_noise: bool = False,
 ):
     """Build ``pstep(table, sparse_state, dense, rng, ids) -> (...)`` where
     dense = {"b1", "vbias"} (init_pretrain_dense).  vbias is updated with
-    plain SGD through a deduplicated sparse scatter as well."""
+    plain SGD through a deduplicated sparse scatter as well.
+
+    ``with_noise=True`` builds the matched-noise variant
+    ``pstep(table, sparse_state, dense, rng, ids, noise)`` where ``noise``
+    is the pretrainer's uniform-draw dict — feeding the SAME uniforms here
+    and to the NumPy oracle makes the two pretraining trajectories directly
+    comparable (tests/test_pretrain.py, PARITY.md 'pretrain-matched')."""
     from ..models.snn import field_sampling
     from ..ops.scatter import scatter_add_dedup
 
     fs = field_sampling(schema)
     pad_id = schema.pad_id
 
-    def pstep(table, sparse_state, dense, rng, ids):
+    def pstep(table, sparse_state, dense, rng, ids, noise=None):
         rng, sub = jax.random.split(rng)
         loss, occ_ids, occ_rows, dgrads = pretrainer.loss_and_grads(
-            table, dense, ids, pad_id, fs, sub
+            table, dense, ids, pad_id, fs, sub, noise=noise
         )
         table, sparse_state = sparse_opt.update(table, sparse_state, occ_ids, occ_rows)
         vbias = scatter_add_dedup(
@@ -283,6 +290,12 @@ def make_pretrain_step(
         )[:, 0]
         dense = {"b1": dense["b1"] - dense_lr * dgrads["b1"], "vbias": vbias}
         return table, sparse_state, dense, rng, loss
+
+    if not with_noise:
+        base = pstep
+
+        def pstep(table, sparse_state, dense, rng, ids):  # noqa: F811
+            return base(table, sparse_state, dense, rng, ids)
 
     if jit:
         pstep = jax.jit(pstep, donate_argnums=(0, 1, 2))

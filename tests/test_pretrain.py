@@ -112,3 +112,68 @@ def test_pretrain_to_snn_handoff_and_finetune(tiny_schema, tiny_dataset):
         early_stop_patience=6,
     )
     assert res.best_auc > 0.62, res.history
+
+
+def _matched_noise_trajectories(kind, tiny_schema, tiny_dataset, steps=25):
+    """Run the jax pretrainer and the NumPy oracle from the SAME init with
+    the SAME uniform draws; return their (table, b1, vbias) trajectories."""
+    from deepctr_tpu.reference_impl import NumpyDae, NumpyRbm
+
+    schema, ds = tiny_schema, tiny_dataset
+    h1, m, lr, B = 8, 2, 0.1, 64
+    F = schema.num_fields
+    if kind == "dae":
+        ref = NumpyDae(schema, hidden1=h1, m=m, lr=lr, seed=3)
+        pre = DaePretrainer(m=m)
+    else:
+        ref = NumpyRbm(schema, hidden1=h1, m=m, lr=lr, seed=3)
+        pre = RbmPretrainer(m=m)
+
+    table = jnp.asarray(ref.table.copy())
+    dense = {"b1": jnp.asarray(ref.b1.copy()),
+             "vbias": jnp.asarray(ref.vbias.copy())}
+    opt = SparseSgd(learning_rate=lr)
+    sstate = opt.init(table)
+    pstep = make_pretrain_step(pre, schema, opt, dense_lr=lr,
+                               with_noise=True)
+    rng = jax.random.PRNGKey(0)  # consumed but overridden by noise
+    noise_rng = np.random.default_rng(77)
+    for i in range(steps):
+        sel = np.random.default_rng(i).integers(0, ds.ids.shape[0], B)
+        ids = ds.ids[sel]
+        if kind == "dae":
+            noise = {"u_keep": noise_rng.random((B, schema.num_slots)),
+                     "u_neg": noise_rng.random((B, F, m))}
+        else:
+            noise = {"u_neg": noise_rng.random((B, F, m)),
+                     "u_h0": noise_rng.random((B, h1))}
+        ref.train_batch(ids, noise=noise)
+        table, sstate, dense, rng, _ = pstep(
+            table, sstate, dense, rng, jnp.asarray(ids),
+            jax.tree_util.tree_map(jnp.asarray, noise),
+        )
+    return ref, np.asarray(table), np.asarray(dense["b1"]), np.asarray(
+        dense["vbias"]
+    )
+
+
+def test_dae_matched_noise_matches_numpy_oracle(tiny_schema, tiny_dataset):
+    """With identical init and identical uniform draws, the jax DAE
+    pretrainer and the NumPy oracle must produce the same trajectory —
+    the mechanism behind PARITY.md's 'pretrain-matched' rows: any real
+    semantic gap between the pretraining implementations shows here."""
+    ref, table, b1, vbias = _matched_noise_trajectories(
+        "dae", tiny_schema, tiny_dataset
+    )
+    np.testing.assert_allclose(table, ref.table, atol=2e-5)
+    np.testing.assert_allclose(b1, ref.b1, atol=2e-5)
+    np.testing.assert_allclose(vbias, ref.vbias, atol=2e-5)
+
+
+def test_rbm_matched_noise_matches_numpy_oracle(tiny_schema, tiny_dataset):
+    ref, table, b1, vbias = _matched_noise_trajectories(
+        "rbm", tiny_schema, tiny_dataset
+    )
+    np.testing.assert_allclose(table, ref.table, atol=2e-5)
+    np.testing.assert_allclose(b1, ref.b1, atol=2e-5)
+    np.testing.assert_allclose(vbias, ref.vbias, atol=2e-5)

@@ -117,18 +117,25 @@ def test_bf16_table_trains_and_checkpoints(tiny_schema, tiny_dataset, tmp_path):
     tr, te = slice(0, int(0.8 * n)), slice(int(0.8 * n), n)
 
     res = {}
-    for dt in ("f32", "bf16"):
+    # "bf16s" = the full round-3 production config (bench.py): bf16 table
+    # storage AND bf16 gradient-scratch in the sparse Adagrad — BOTH knobs
+    # must hold the f32 quality band (ADVICE r3: the scratch half previously
+    # had no CI quality gate)
+    for dt, scratch in (("f32", "f32"), ("bf16", "f32"), ("bf16s", "bf16")):
         r = fit(
             FMModel(k=3), tiny_schema, ds.ids[tr], ds.labels[tr],
             ds.ids[te], ds.labels[te],
-            sparse_opt=SparseAdagrad(0.1), dense_opt=optax.adagrad(0.05),
+            sparse_opt=SparseAdagrad(0.1, scratch_dtype=scratch),
+            dense_opt=optax.adagrad(0.05),
             batch_size=128, epochs=3, seed=0, prefetch=False,
-            early_stop_patience=99, table_dtype=dt,
+            early_stop_patience=99,
+            table_dtype="bf16" if dt.startswith("bf16") else "f32",
         )
         res[dt] = r
     assert str(res["bf16"].state.table.dtype) == "bfloat16"
     assert str(res["bf16"].state.sparse_state.acc.dtype) == "float32"
     assert abs(res["bf16"].best_auc - res["f32"].best_auc) < 0.01
+    assert abs(res["bf16s"].best_auc - res["f32"].best_auc) < 0.01
 
     path = str(tmp_path / "bf16.ckpt")
     save_train_state(path, res["bf16"].state, epoch=3, schema=tiny_schema)

@@ -224,6 +224,119 @@ def bench_stream(results):
           f"{rows2/dt2:,.0f} rows/s")
 
 
+def bench_stream_train(results):
+    """END-TO-END training while streaming from npz cache shards, at the
+    headline configuration (full-vocab FNN, Pallas tower, bf16 table, B=8192,
+    scan_steps=8) — the VERDICT r3 Missing #3 number: does the host pipeline
+    feed the chip at device rate once the data no longer fits in RAM?
+
+    Protocol: epoch 0 warms compile + page cache; epoch 1 is timed WALL
+    CLOCK end to end (parse threads + shuffle reservoir + H2D staging on the
+    DevicePrefetcher thread + device compute).  Unlike the in-RAM headline
+    this includes every host cost, so quote it next to `h2d_*` below when
+    attributing any gap."""
+    import jax.numpy as jnp
+    import optax
+
+    from deepctr_tpu.data import StreamSource, ipinyou_full_schema, synthetic
+    from deepctr_tpu.data.cache import write_cache
+    from deepctr_tpu.data.pipeline import DevicePrefetcher
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.ops.split_embed import make_split_plan
+    from deepctr_tpu.train import init_state
+    from deepctr_tpu.train.step import make_scan_train_step
+
+    schema = ipinyou_full_schema()
+    B, T = 8192, 8
+    n_shards, rows_per_shard = 8, 131072  # ~1.05M rows/epoch
+    paths = []
+    for i in range(n_shards):
+        p = f"/tmp/bench_streamtrain_{i}.npz"
+        if not os.path.exists(p):
+            ds = synthetic.generate(schema, num_examples=rows_per_shard, k=2,
+                                    seed=100 + i)
+            write_cache(p, ds.ids, ds.labels, schema)
+        paths.append(p)
+
+    model = make_fnn(schema, k=10,
+                     mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5),
+                     use_pallas=True)
+    sopt = SparseAdagrad(0.05, scratch_dtype="bf16")
+    dopt = optax.adagrad(0.02)
+    holder = {"state": init_state(model, schema, sopt, dopt, seed=0,
+                                  table_dtype="bf16")}
+    scan_step = make_scan_train_step(
+        model, schema, sopt, dopt, split=make_split_plan(schema)
+    )
+
+    def epoch(ep):
+        src = StreamSource(paths=paths, schema=schema, batch_size=B,
+                           buffer_rows=1 << 18, seed=ep)
+        it = DevicePrefetcher(src.scan_chunks(ep, T), depth=2)
+        rows, losses = 0, None
+        t0 = time.perf_counter()
+        for nb, (ids_t, y_t, w_t) in it:
+            holder["state"], losses = scan_step(
+                holder["state"], ids_t, y_t, w_t
+            )
+            rows += nb * B
+        np.asarray(losses)  # host fetch: the only reliable barrier here
+        return rows, time.perf_counter() - t0
+
+    epoch(0)
+    rows, dt = epoch(1)
+    results["train_stream_examples_per_s"] = rows / dt
+    print(f"train-while-streaming: {rows} rows in {dt:.2f}s -> "
+          f"{rows/dt:,.0f} ex/s")
+
+
+def bench_h2d(results):
+    """Host->device transfer floor through this environment's runtime.
+
+    The in-RAM headline stages batches on device before the clock starts;
+    a streaming run cannot.  This measures the sustained device_put rate of
+    scan-chunk-shaped arrays (ids int32[8,8192,S] + labels/weights f32),
+    giving the hard ceiling `h2d_examples_per_s_ceiling` any host-fed
+    training loop obeys on this machine."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepctr_tpu.data import ipinyou_full_schema
+
+    schema = ipinyou_full_schema()
+    B, T, S = 8192, 8, schema.num_slots
+    rng = np.random.default_rng(0)
+    n_bufs = 8
+    bufs = [
+        (
+            rng.integers(0, schema.padded_vocab_size,
+                         size=(T, B, S)).astype(np.int32),
+            rng.random((T, B), dtype=np.float32),
+            np.ones((T, B), np.float32),
+        )
+        for _ in range(n_bufs)
+    ]
+    bytes_per_chunk = sum(a.nbytes for a in bufs[0])
+
+    def run(reps):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(reps):
+            out = jax.device_put(bufs[i % n_bufs])
+        jax.block_until_ready(out)
+        np.asarray(out[1][:1, :8])  # host fetch barrier
+        return time.perf_counter() - t0
+
+    run(4)
+    per = _marginal(run, 8, 16)
+    results["h2d_mb_per_s"] = bytes_per_chunk / per / 1e6
+    results["h2d_examples_per_s_ceiling"] = T * B / per
+    print(f"h2d: {bytes_per_chunk/1e6:.1f} MB/chunk, {per*1e3:.2f} ms -> "
+          f"{bytes_per_chunk/per/1e6:,.0f} MB/s, ceiling "
+          f"{T*B/per:,.0f} ex/s")
+
+
 def bench_serving(results):
     """Scorer (inference) throughput at full-iPinYou vocab per quant mode.
 
@@ -380,9 +493,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--sections", default="parser,models,full,lookup,serving,stream",
-        help="comma list: parser,models,full,lookup,serving,stream,batch "
-        "(run big sections in separate invocations; results accumulate in "
-        "BENCH.json)",
+        help="comma list: parser,models,full,lookup,serving,stream,"
+        "streamtrain,h2d,batch (run big sections in separate invocations; "
+        "results accumulate in BENCH.json)",
     )
     args = ap.parse_args()
     sections = set(args.sections.split(","))
@@ -412,6 +525,10 @@ def main():
         bench_serving(results)
     if "stream" in sections:
         bench_stream(results)
+    if "streamtrain" in sections:
+        bench_stream_train(results)
+    if "h2d" in sections:
+        bench_h2d(results)
     with open(acc_path, "w") as f:
         json.dump(results, f, indent=2)
 

@@ -38,23 +38,77 @@ import numpy as np  # noqa: E402
 T_COMP_MS_DEFAULT = 2.84  # measured v5e step, B=8192 (BENCH.json fnn_full_vocab)
 
 
-def hlo_validation(lines):
-    """Pin the accounting to the COMPILED program: lower the sharded step
-    and compare the all_to_all operand buffer sizes in the StableHLO
-    against comm_volume's closed forms.  (Wall-clock is not a usable
-    validator on the CPU mesh: its 8 "devices" share one address space, so
-    all_to_all is a pointer shuffle — measured ~0 marginal cost per MB.)"""
+_WIDTH = {"f32": 4, "i32": 4, "ui32": 4, "bf16": 2, "f16": 2, "i8": 1,
+          "i64": 8, "ui64": 8, "f64": 8, "i16": 2, "ui16": 2, "i1": 1}
+
+
+def collective_bytes(txt: str) -> dict:
+    """Per-collective operand-byte totals + op counts from StableHLO text.
+
+    Region-carrying ops (all_reduce) put their ``: (operands) -> results``
+    signature on the region-closing line, so each match scans forward to the
+    first line containing the arrow; only the operand side (left of ``->``)
+    is summed.  Scalar operands (``tensor<f32>``) don't match the shape
+    regex and are deliberately excluded on both sides of the comparison
+    (loss/weight/drop-counter psums, a few bytes)."""
     import re
 
+    tensor_re = re.compile(r"tensor<([0-9]+(?:x[0-9]+)*)x([a-z][a-z0-9]*)>")
+    ops = ("all_to_all", "all_gather", "all_reduce", "reduce_scatter",
+           "collective_permute")
+    out = {op: 0 for op in ops}
+    counts = {op: 0 for op in ops}
+    lines = txt.splitlines()
+    i = 0
+    while i < len(lines):
+        hit = next(
+            (op for op in ops if f"stablehlo.{op}" in lines[i]), None
+        )
+        if hit is None:
+            i += 1
+            continue
+        j = i
+        while j < len(lines) and "->" not in lines[j]:
+            j += 1
+        assert j < len(lines), f"no signature after {lines[i]!r}"
+        left = lines[j].split("->")[0]
+        # the operand signature is the LAST ': (' before the arrow —
+        # attribute tensors (replica_groups dense<..> : tensor<1x8xi64>)
+        # come earlier on the line and must not be counted
+        sig_at = left.rfind(": (")
+        if sig_at >= 0:
+            left = left[sig_at:]
+        got = 0
+        for mt in tensor_re.finditer(left):
+            dims = [int(x) for x in mt.group(1).split("x")]
+            got += int(np.prod(dims)) * _WIDTH[mt.group(2)]
+        out[hit] += got
+        counts[hit] += 1
+        i = j + 1
+    out["counts"] = counts
+    return out
+
+
+def hlo_validation(lines):
+    """Pin the accounting to the COMPILED program: lower the sharded train
+    AND eval steps — without and WITH the split plan — and compare every
+    collective's operand buffers in the StableHLO against comm_volume's
+    closed forms (all_to_all payloads, small-field all_gathers, small-field
+    + dense-tower psums).  (Wall-clock is not a usable validator on the CPU
+    mesh: its 8 "devices" share one address space, so a collective is a
+    pointer shuffle — measured ~0 marginal cost per MB.)"""
     import optax
 
     from deepctr_tpu.data import ipinyou_like_schema, synthetic
-    from deepctr_tpu.models import FMModel
+    from deepctr_tpu.models import FMModel, MlpSpec, make_fnn
+    from deepctr_tpu.ops.split_embed import make_split_plan
     from deepctr_tpu.optim import SparseAdagrad
     from deepctr_tpu.parallel import (
         comm_volume,
+        dense_param_bytes,
         init_sharded_state,
         make_data_mesh,
+        make_sharded_eval_step,
         make_sharded_train_step,
         shard_batch_arrays,
     )
@@ -62,27 +116,61 @@ def hlo_validation(lines):
     assert len(jax.devices()) >= 8, jax.devices()
     schema = ipinyou_like_schema()
     mesh = make_data_mesh()
-    model = FMModel(k=10)
     sopt, dopt = SparseAdagrad(0.05), optax.adagrad(0.02)
     B = 8192
     ds = synthetic.generate(schema, num_examples=B, k=2, seed=0)
     ids_d, y_d, w_d = shard_batch_arrays(
         mesh, ds.ids, ds.labels, np.ones(B, np.float32)
     )
-    state = init_sharded_state(model, schema, sopt, dopt, mesh, seed=0)
 
-    WIDTH = {"f32": 4, "i32": 4, "bf16": 2, "f16": 2, "i8": 1}
     lines.append("\n## Validation against the compiled program "
-                 "(8-device mesh, no split plan)\n")
-    lines.append("The accounting is checked against the all_to_all operand "
-                 "buffers in the lowered StableHLO of the actual train step "
-                 "— per-device payload bytes, accounted vs compiled:\n")
-    lines.append("| config | accounted a2a bytes/dev | compiled a2a "
-                 "bytes/dev | match |")
-    lines.append("|---|---|---|---|")
-    for label, cf, dtype, xb in (("cf=2.0 f32", 2.0, "f32", 4),
-                                 ("cf=1.0 f32", 1.0, "f32", 4),
-                                 ("cf=2.0 bf16", 2.0, "bf16", 2)):
+                 "(8-device mesh)\n")
+    lines.append("Every non-scalar collective in the lowered StableHLO of "
+                 "the ACTUAL steps, per-device operand bytes, accounted "
+                 "(`parallel/comm.py` closed forms) vs compiled.  a2a = the "
+                 "three all_to_alls (id route + row fwd + grad bwd); ag = "
+                 "small-field subtable all_gathers (operand side, i.e. "
+                 "result/N); psum = small-field grad + dense-tower grad "
+                 "all_reduce operands (scalar psums excluded on both "
+                 "sides):\n")
+    lines.append("| step / config | collective | ops | accounted bytes/dev "
+                 "| compiled bytes/dev | match |")
+    lines.append("|---|---|---|---|---|---|")
+
+    def check(label, txt, want_by_op, want_counts):
+        got = collective_bytes(txt)
+        for op, want in want_by_op.items():
+            g = got[op]
+            cnt = got["counts"][op]
+            wc = want_counts.get(op)
+            ok = g == want and (wc is None or cnt == wc)
+            lines.append(
+                f"| {label} | {op} | {cnt} | {want:,} | {g:,} | "
+                f"{'yes' if ok else f'NO'} |"
+            )
+            print(f"{label} {op}: accounted {want:,} compiled {g:,} "
+                  f"({cnt} ops) -> {'ok' if ok else 'MISMATCH'}")
+            assert g == want, (label, op, g, want)
+            if wc is not None:
+                assert cnt == wc, (label, op, cnt, wc)
+
+    def nonscalar_dense_bytes(model):
+        """dense-psum bytes visible to the parser: 0-d leaves lower to
+        tensor<f32> which the shape regex excludes on both sides."""
+        params = model.init_params(jax.random.PRNGKey(0), schema)
+        return sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(params["dense"])
+            if getattr(x, "ndim", 0) >= 1
+        )
+
+    # ---- no split plan: FM, pure all-to-all path (3 configs) -------------
+    model = FMModel(k=10)
+    state = init_sharded_state(model, schema, sopt, dopt, mesh, seed=0)
+    db_fm = nonscalar_dense_bytes(model)
+    for label, cf, dtype, xb in (("train FM no-split cf=2.0 f32", 2.0, "f32", 4),
+                                 ("train FM no-split cf=1.0 f32", 1.0, "f32", 4),
+                                 ("train FM no-split cf=2.0 bf16", 2.0, "bf16", 2)):
         step = make_sharded_train_step(
             model, schema, sopt, dopt, mesh, capacity_factor=cf,
             exchange_dtype=dtype,
@@ -90,21 +178,55 @@ def hlo_validation(lines):
         txt = jax.jit(lambda s, i, y, w: step(s, i, y, w)).lower(
             state, ids_d, y_d, w_d
         ).as_text()
-        got = 0
-        for ln in txt.splitlines():
-            if "all_to_all" not in ln:
-                continue
-            mt = re.search(r"\(tensor<([0-9x]+)x([a-z0-9]+)>\)", ln)
-            assert mt, ln
-            dims = [int(x) for x in mt.group(1).split("x")]
-            got += int(np.prod(dims)) * WIDTH[mt.group(2)]
         v = comm_volume(schema, B // 8, 8, cf, split=None,
-                        dense_param_bytes=0, exchange_bytes=xb)
-        want = v.ids_a2a + v.rows_a2a_fwd + v.rows_a2a_bwd
-        ok = "yes" if got == want else f"NO ({got} vs {want})"
-        lines.append(f"| {label} | {want:,} | {got:,} | {ok} |")
-        print(f"{label}: accounted {want:,} compiled {got:,} -> {ok}")
-        assert got == want, (label, got, want)
+                        dense_param_bytes=db_fm, exchange_bytes=xb)
+        check(label, txt,
+              {"all_to_all": v.ids_a2a + v.rows_a2a_fwd + v.rows_a2a_bwd,
+               "all_gather": 0,
+               "all_reduce": v.dense_psum},
+              {"all_to_all": 3, "all_gather": 0})
+
+    # ---- WITH the split plan: FNN tower, small-field ag/psum terms -------
+    split = make_split_plan(schema)
+    model = make_fnn(schema, k=10, mlp=MlpSpec(hidden=(64, 32), dropout=0.0))
+    state = init_sharded_state(model, schema, sopt, dopt, mesh, seed=0)
+    db = nonscalar_dense_bytes(model)
+    n_small = len(split.small)
+    for label, cf, xb in (("train FNN split cf=2.0 f32", 2.0, 4),
+                          ("train FNN split cf=1.25 bf16", 1.25, 2)):
+        step = make_sharded_train_step(
+            model, schema, sopt, dopt, mesh, capacity_factor=cf,
+            split=split, exchange_dtype="bf16" if xb == 2 else "f32",
+        )
+        txt = jax.jit(lambda s, i, y, w: step(s, i, y, w)).lower(
+            state, ids_d, y_d, w_d
+        ).as_text()
+        v = comm_volume(schema, B // 8, 8, cf, split=split,
+                        dense_param_bytes=db, exchange_bytes=xb)
+        check(label, txt,
+              {"all_to_all": v.ids_a2a + v.rows_a2a_fwd + v.rows_a2a_bwd,
+               # compiled all_gather records the operand (= result / N)
+               "all_gather": v.small_allgather // 8,
+               "all_reduce": v.small_psum + v.dense_psum},
+              {"all_to_all": 3, "all_gather": n_small})
+
+    # ---- eval steps: forward-only inventory (2 configs) ------------------
+    for label, sp in (("eval FNN split cf=2.0 f32", split),
+                      ("eval FNN no-split cf=2.0 f32", None)):
+        estep = make_sharded_eval_step(model, schema, mesh,
+                                       capacity_factor=2.0, split=sp)
+        txt = jax.jit(lambda t, d, i: estep(t, d, i)).lower(
+            state.table, state.dense, ids_d
+        ).as_text()
+        v = comm_volume(schema, B // 8, 8, 2.0, split=sp,
+                        dense_param_bytes=0, exchange_bytes=4)
+        check(label, txt,
+              {"all_to_all": v.ids_a2a + v.rows_a2a_fwd,  # no grad leg
+               "all_gather": (v.small_allgather // 8) if sp else 0,
+               "all_reduce": 0},
+              {"all_to_all": 2,
+               "all_gather": n_small if sp else 0,
+               "all_reduce": 0})
     lines.append("")
 
 
@@ -207,10 +329,12 @@ def main():
         ("cf=2.0, bf16 wire", 2.0, 2),
         ("**recommended: cf=1.25, bf16 wire**", 1.25, 2),
     ]
+    eff_floor = {}
     for label, cf, xb in grid:
         v = comm_volume(schema, 8192, 16, cf, split=split,
                         dense_param_bytes=db, exchange_bytes=xb)
         pt = predict_scaling(v, t_comp, n_hosts=2, chips_per_host=8)
+        eff_floor[label] = pt.efficiency_no_overlap
         lines.append(
             f"| {label} | {v.total_wire/1e6:.2f} MB | "
             f"{pt.dcn_bytes_per_host/1e6:.2f} MB | {pt.t_dcn_ms:.3f} | "
@@ -234,18 +358,30 @@ def main():
                  "exchange entirely (all-gathered subtables); without the "
                  "split plan the all_to_all payload grows 6x (18 slots vs "
                  "3 big ones — see tests/test_comm.py).\n")
-    lines.append("**Conclusion**: with the recommended 2-host recipe the "
-                 "model predicts >=85% even under the zero-overlap floor; "
-                 "with any realistic comm/compute overlap all configs sit "
-                 "near 100%.  The >=85% BASELINE target is met by "
-                 "prediction; hardware validation awaits a multi-chip "
-                 "environment.\n")
+    rec = eff_floor["**recommended: cf=1.25, bf16 wire**"]
+    dfl = eff_floor["default: cf=2.0, f32 wire"]
+    lines.append(
+        f"**Conclusion**: the defendable number is the ZERO-OVERLAP floor "
+        f"of the recommended recipe (cf=1.25 + bf16 wire): "
+        f"**{rec:.1%}** at 2 hosts, which meets the >=85% BASELINE target "
+        f"without assuming any comm/compute overlap.  The default config "
+        f"(cf=2.0, f32 wire) predicts only {dfl:.1%} under the same floor — "
+        f"it MISSES the target unless the recipe is applied.  The "
+        f"'eff (overlapped)' column is a perfect-overlap CEILING that no "
+        f"measurement in this one-chip environment supports; real runs land "
+        f"between floor and ceiling.  All of this is model-predicted from "
+        f"validated per-step volumes; hardware validation awaits a "
+        f"multi-chip environment.\n")
 
     if not args.fast:
         hlo_validation(lines)
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from deepctr_tpu.utils.artifacts import protocol_stamp
+
     lines.append(f"\nGenerated by tools/scaling_report.py at {time.ctime()} "
-                 f"(t_comp={t_comp:.2f} ms from BENCH.json).\n")
+                 f"(t_comp={t_comp:.2f} ms from BENCH.json). "
+                 f"{protocol_stamp('tools/scaling_report.py')}\n")
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {args.out}")
