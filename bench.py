@@ -91,13 +91,17 @@ def main():
     # (tools/step_breakdown.py) — same model math, kernel-private RNG stream
     model = make_fnn(schema, k=K, mlp=MlpSpec(hidden=HIDDEN, dropout=0.5),
                      use_pallas=True)
-    # production configuration (round 3): bf16 table storage + bf16 gradient
-    # scratch, f32 math/accumulators — halves the HBM streams of the three
-    # bandwidth-bound terms (gather, scatter write, full-table Adagrad).
-    # Measured 2.04 vs 2.80 ms/step vs all-f32 with ΔAUC -0.0001 on the
-    # quality gate (tools/roofline_lab.py --quality; tests/test_train.py
-    # gates bf16 training AUC in CI).  BENCH.md records the f32 number too.
-    sopt = SparseAdagrad(0.05, scratch_dtype="bf16")
+    # production configuration (round 4): bf16 table storage, f32 math/
+    # accumulators/scratch — halves the HBM streams of the gather and the
+    # full-table Adagrad elementwise.  Chosen by the median-of-5
+    # interleaved-repeats protocol (tools/bench_suite.py --sections
+    # headline; BENCH.md "Round 4"): bf16table median 3.73M ex/s (σ 0.09M)
+    # vs bf16table+bf16scratch 3.70M (σ 0.19M) — the round-3 scratch knob's
+    # apparent win was run-to-run noise (its lab number was the max of the
+    # distribution), so it is off here.  ΔAUC of bf16 table vs f32: -0.0001
+    # (tools/roofline_lab.py --quality); tests/test_train.py gates both
+    # bf16 knobs' training AUC in CI.  BENCH.md records the f32 number too.
+    sopt = SparseAdagrad(0.05)
     dopt = optax.adagrad(0.02)
     state = init_state(model, schema, sopt, dopt, seed=0, table_dtype="bf16")
 

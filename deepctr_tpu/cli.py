@@ -168,15 +168,30 @@ def load_data(cfg):
             )
         from .data.stream import StreamSource
 
+        # multi-controller runs: each process streams a DISJOINT slice of
+        # the per-epoch shard permutation and produces only its local share
+        # of the global batch (assembled process-locally in _run_sharded) —
+        # no host parses another host's data (SURVEY.md §2.4 multi-host row)
+        import jax as _jax
+
+        pc = _jax.process_count()
+        pi = _jax.process_index() if pc > 1 else 0
+        if pc > 1 and cfg.train.batch_size % pc:
+            raise ValueError(
+                f"train.batch_size {cfg.train.batch_size} must divide by "
+                f"process_count {pc}"
+            )
         source = StreamSource(
             paths=d.train_path,
             schema=schema,
-            batch_size=cfg.train.batch_size,
+            batch_size=cfg.train.batch_size // (pc if pc > 1 else 1),
             fmt="yx-featindex" if fi is not None else d.format,
             buffer_rows=d.stream_buffer_rows,
             seed=cfg.train.seed,
             use_native=d.use_native_parser,
             featindex=fi,
+            process_index=pi,
+            process_count=pc if pc > 1 else 1,
         )
         te_ids, te_labels = read(d.test_path)
         return schema, source, None, te_ids, te_labels
@@ -456,7 +471,10 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
         if scan_step is not None and train_source is not None:
             it = train_source.scan_chunks(epoch, scan_steps)
             if cfg.train.prefetch:
-                it = DevicePrefetcher(it, depth=2, sharding=scan_sharding)
+                # process_axis=1: in a multi-controller run each host stages
+                # only its own [T, B_local, S] slice of the global batch
+                it = DevicePrefetcher(it, depth=2, sharding=scan_sharding,
+                                      process_axis=1)
             for nb, (ids_t, y_t, w_t) in it:
                 state, (losses, dropped) = scan_step(
                     state, ids_t, y_t, w_t, lr_scale

@@ -101,6 +101,10 @@ int64_t yx_parse(const char* buf, int64_t len, const int64_t* field_bounds,
     for (int32_t f = 0; f < num_fields; ++f) cursor[f] = 0;
 
     const int64_t vocab = field_bounds[num_fields - 1];
+    // ids within a yx line are ascending in practice (featindex order), so
+    // the field lookup advances a cursor monotonically — O(1)/token instead
+    // of a linear scan over the bounds; out-of-order ids just reset it.
+    int32_t f_hint = 0;
     while (q < line_end) {
       q = skip_ws(q, line_end);
       if (q >= line_end) break;
@@ -115,7 +119,9 @@ int64_t yx_parse(const char* buf, int64_t len, const int64_t* field_bounds,
       // skip ":val" (value always 1 in the reference format)
       while (q < line_end && *q != ' ' && *q != '\t') ++q;
       if (!any || gid >= vocab) continue;
-      int32_t f = field_of(gid, field_bounds, num_fields);
+      if (f_hint > 0 && gid < field_bounds[f_hint - 1]) f_hint = 0;
+      while (f_hint < num_fields && gid >= field_bounds[f_hint]) ++f_hint;
+      int32_t f = f_hint;
       if (f >= num_fields) continue;
       int32_t k = cursor[f];
       if (k >= max_lens[f]) continue;

@@ -108,15 +108,24 @@ class DevicePrefetcher:
     compute: while step N runs, batch N+1..N+depth are already being staged.
     ``sharding`` may be a jax.sharding.Sharding to place global batches on a
     mesh (data-parallel input feed).
+
+    ``process_axis`` (with ``sharding``, in a multi-controller run) marks
+    the batch axis of the staged arrays as PROCESS-LOCAL: each host supplies
+    only its own slice and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (global batch = local ×
+    process_count) — no host stages another host's rows.  Single-process it
+    is equivalent to a plain sharded device_put.
     """
 
     _DONE = object()
 
-    def __init__(self, it, depth: int = 2, sharding=None):
+    def __init__(self, it, depth: int = 2, sharding=None,
+                 process_axis: int | None = None):
         import jax
 
         self._jax = jax
         self._sharding = sharding
+        self._process_axis = process_axis
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: BaseException | None = None
 
@@ -134,11 +143,20 @@ class DevicePrefetcher:
 
     def _device_put(self, item):
         jax = self._jax
-        put = (
-            (lambda x: jax.device_put(x, self._sharding))
-            if self._sharding is not None
-            else jax.device_put
-        )
+        if (self._process_axis is not None and self._sharding is not None
+                and jax.process_count() > 1):
+            from ..parallel.mesh import assemble_process_local
+
+            def put(x):
+                return assemble_process_local(
+                    self._sharding, np.asarray(x),
+                    batch_axis=self._process_axis,
+                )[0]
+        elif self._sharding is not None:
+            def put(x):
+                return jax.device_put(x, self._sharding)
+        else:
+            put = jax.device_put
         if isinstance(item, Batch):
             return Batch(put(item.ids), put(item.labels), put(item.weights))
         if isinstance(item, tuple):

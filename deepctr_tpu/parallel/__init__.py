@@ -7,7 +7,8 @@ exists in fixed-field CTR data); the scaling axes are batch (DP) and
 embedding-table rows (row sharding + all-to-all).
 """
 
-from .mesh import DATA_AXIS, data_sharding, make_data_mesh, replicated, shard_batch_arrays
+from .mesh import (DATA_AXIS, assemble_process_local, data_sharding,
+                   make_data_mesh, replicated, shard_batch_arrays)
 from .comm import CommVolume, comm_volume, dense_param_bytes, exchange_capacity, predict_scaling
 from .dp import make_dp_train_step, replicate_state
 from .sharded import (
@@ -26,6 +27,7 @@ from .sharded import (
 __all__ = [
     "DATA_AXIS",
     "data_sharding",
+    "assemble_process_local",
     "make_data_mesh",
     "replicated",
     "shard_batch_arrays",

@@ -21,3 +21,6 @@ def test_two_process_dcn_trajectory_matches_single_process():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIHOST SIM OK" in out.stdout, out.stdout + out.stderr
+    # phase 2: process-aware streaming (disjoint shard subsets per process,
+    # process-local batch assembly, recommended cf=1.25 + bf16-wire recipe)
+    assert "MULTIHOST STREAM OK" in out.stdout, out.stdout + out.stderr

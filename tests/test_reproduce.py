@@ -22,6 +22,7 @@ def test_reproduce_tool_family_table(tmp_path):
         "--examples", "4000",
         "--epochs", "1",
         "--batch", "256",
+        "--no-convergence-study",      # smoke: skip the extra tables
         "--out", str(out),
     ])
     text = out.read_text()
@@ -77,3 +78,44 @@ def test_deep_beats_shallow_on_mlp_teacher():
 
     assert res_fm.best_auc > auc_lr + 0.002, (auc_lr, res_fm.best_auc)
     assert auc_fnn > res_fm.best_auc + 0.004, (res_fm.best_auc, auc_fnn)
+
+    # --- SNN position + mechanism gate (VERDICT r3 ask #3) ---------------
+    # SNN's shared-SGD family-table deficit is optimizer conditioning of
+    # its σ(Σ active rows) bottom layer, not model quality: under Adagrad
+    # (BASELINE.json:5 in-scope) SNN reaches LR-above / FNN-adjacent
+    # position in TWO epochs, while 2-epoch SGD is still near chance.
+    # Margins measured on this exact config (CPU, seed 1000):
+    # lr 0.7177 / fnn 0.7373 / snn_sgd@2 0.5905 / snn_ada@2 0.7345.
+    from deepctr_tpu.models import DaePretrainer, SNNModel
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.train import pretrain_snn
+    from deepctr_tpu.utils.checkpoint import init_snn_from_pretrain
+
+    snn = SNNModel(hidden1=200, mlp=MlpSpec(hidden=(200, 300, 100),
+                                            dropout=0.0))
+    tbl, b1 = pretrain_snn(DaePretrainer(m=2), schema, 200, ds.ids[tr],
+                           sparse_opt=SparseAdagrad(0.05), dense_lr=0.1,
+                           batch_size=512, epochs=1, seed=0)
+
+    def train_snn(sopt, dopt, epochs):
+        st = init_state(snn, schema, sopt, dopt, seed=0)
+        pp = init_snn_from_pretrain(
+            {"table": st.table, "dense": st.dense}, np.asarray(tbl),
+            np.asarray(b1),
+        )
+        return fit(
+            snn, schema, ds.ids[tr], ds.labels[tr], ds.ids[te], ds.labels[te],
+            sparse_opt=sopt, dense_opt=dopt, batch_size=512, epochs=epochs,
+            seed=0, prefetch=False, early_stop_patience=99,
+            state=st._replace(table=pp["table"], dense=pp["dense"]),
+        ).best_auc
+
+    import numpy as np
+
+    auc_snn_sgd = train_snn(SparseSgd(lr_), optax.sgd(lr_), 2)
+    auc_snn_ada = train_snn(SparseAdagrad(0.05), optax.adagrad(0.02), 2)
+    # mechanism: the optimizer alone moves 2-epoch SNN by >> any other knob
+    assert auc_snn_ada > auc_snn_sgd + 0.05, (auc_snn_sgd, auc_snn_ada)
+    # position: above LR, within reach of FNN (paper's qualitative claim)
+    assert auc_snn_ada > auc_lr + 0.008, (auc_lr, auc_snn_ada)
+    assert auc_fnn - auc_snn_ada < 0.010, (auc_fnn, auc_snn_ada)

@@ -224,6 +224,89 @@ def bench_stream(results):
           f"{rows2/dt2:,.0f} rows/s")
 
 
+def bench_headline_repeats(results, reps: int = 5):
+    """Settle the training headline with the serving-grade protocol
+    (VERDICT r3 Weak #2): N interleaved single-process repeats of the three
+    storage configs (f32 / bf16 table / bf16 table + bf16 scratch), each a
+    marginal T-vs-2T scan measurement, reported as median ± σ.  The
+    production config in bench.py is whichever bf16 variant's median wins
+    by more than the LARGER of the two σ; otherwise the simpler bf16-table
+    config is kept."""
+    import jax.numpy as jnp
+    import optax
+
+    from deepctr_tpu.data import ipinyou_full_schema, synthetic
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.ops.split_embed import make_split_plan
+    from deepctr_tpu.train import init_state
+    from deepctr_tpu.train.step import make_scan_train_step
+
+    schema = ipinyou_full_schema()
+    B, T = 8192, 8
+    ds = synthetic.generate(schema, num_examples=B * 2 * T, k=2, seed=5)
+    model = make_fnn(schema, k=10,
+                     mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5),
+                     use_pallas=True)
+    split = make_split_plan(schema)
+    configs = {
+        "f32": ("f32", "f32"),
+        "bf16table": ("bf16", "f32"),
+        "bf16table_bf16scratch": ("bf16", "bf16"),
+    }
+    setups = {}
+    for name, (td, sd) in configs.items():
+        sopt = SparseAdagrad(0.05, scratch_dtype=sd)
+        dopt = optax.adagrad(0.02)
+        setups[name] = {
+            "state": init_state(model, schema, sopt, dopt, seed=0,
+                                table_dtype=td),
+            "step": make_scan_train_step(model, schema, sopt, dopt,
+                                         split=split),
+        }
+
+    def stacked(c):
+        out = (
+            jnp.asarray(ds.ids[: c * B]).reshape(c, B, -1),
+            jnp.asarray(ds.labels[: c * B]).reshape(c, B),
+            jnp.ones((c, B), jnp.float32),
+        )
+        float(out[0].sum())
+        return out
+
+    def one_measurement(su):
+        def run(c):
+            batch = stacked(c)
+            t0 = time.perf_counter()
+            st, losses = su["step"](su["state"], *batch)
+            np.asarray(losses)
+            su["state"] = st
+            return time.perf_counter() - t0
+
+        return _marginal(run, T, 2 * T)
+
+    for su in setups.values():  # compile both scan lengths up front
+        one_measurement(su)
+    samples = {name: [] for name in configs}
+    for r in range(reps):  # interleave configs within one process
+        for name, su in setups.items():
+            samples[name].append(B / one_measurement(su))
+    for name, vals in samples.items():
+        med = float(np.median(vals))
+        sig = float(np.std(vals))
+        results[f"headline_median/{name}"] = med
+        results[f"headline_sigma/{name}"] = sig
+        print(f"{name}: median {med:,.0f} ex/s  σ {sig:,.0f}  "
+              f"({', '.join(f'{v/1e6:.2f}M' for v in sorted(vals))})")
+    a = results["headline_median/bf16table"]
+    b = results["headline_median/bf16table_bf16scratch"]
+    sig = max(results["headline_sigma/bf16table"],
+              results["headline_sigma/bf16table_bf16scratch"])
+    verdict = ("bf16table_bf16scratch" if b - a > sig else "bf16table")
+    results["headline_production_config"] = verdict
+    print(f"scratch-knob verdict: Δ={b-a:,.0f} vs σ={sig:,.0f} -> {verdict}")
+
+
 def bench_stream_train(results):
     """END-TO-END training while streaming from npz cache shards, at the
     headline configuration (full-vocab FNN, Pallas tower, bf16 table, B=8192,
@@ -490,6 +573,16 @@ def main():
 
     import jax
 
+    # persistent compilation cache: the full-vocab scan step costs ~300s to
+    # compile through the tunneled runtime; repeat bench invocations should
+    # pay it once (harmless no-op if the backend doesn't support it)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/deepctr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--sections", default="parser,models,full,lookup,serving,stream",
@@ -529,6 +622,8 @@ def main():
         bench_stream_train(results)
     if "h2d" in sections:
         bench_h2d(results)
+    if "headline" in sections:
+        bench_headline_repeats(results)
     with open(acc_path, "w") as f:
         json.dump(results, f, indent=2)
 
@@ -554,11 +649,13 @@ def main():
         )
         f.write("| metric | value |\n|---|---|\n")
         for k, v in results.items():
-            f.write(f"| {k} | {v:,.0f} |\n")
+            v_str = f"{v:,.0f}" if isinstance(v, (int, float)) else str(v)
+            f.write(f"| {k} | {v_str} |\n")
         f.write(f"\nGenerated by tools/bench_suite.py at {time.ctime()}.\n")
         f.write(roofline)
     print(f"wrote {out}")
-    print(json.dumps({k: round(v, 1) for k, v in results.items()}))
+    print(json.dumps({k: (round(v, 1) if isinstance(v, (int, float)) else v)
+                      for k, v in results.items()}))
 
 
 if __name__ == "__main__":

@@ -9,14 +9,28 @@ global mesh — the exact code path (multi-controller runtime, cross-process
 collectives over the gRPC "DCN") a 2-host run takes, minus the physical
 link.
 
-Each worker trains 3 sharded FM steps on identical seeded synthetic data
-and reports the replicated loss trajectory and a global table checksum;
-the launcher compares them against a single-process 8-fake-device run of
-the same steps.  Exercised by tests/test_multihost.py.
+Two phases, both compared against a single-process 8-fake-device run:
+
+1. in-RAM: each worker trains 3 sharded FM steps on identical seeded
+   synthetic data ("every process provides the same full host batch" —
+   fine for small data, N× redundant at scale);
+2. streaming, PROCESS-AWARE (VERDICT r3 Missing #4): each worker's
+   StreamSource(process_index, process_count) consumes a DISJOINT slice of
+   the shard files, produces only its local half of every global batch, and
+   the global arrays are assembled with
+   jax.make_array_from_process_local_data (parallel.assemble_process_local)
+   — no host parses or stages another host's rows.  Runs under the
+   RECOMMENDED 2-host recipe (capacity_factor=1.25, bf16 wire exchange,
+   SCALING.md) so the contract config is exercised end to end; the loss
+   trajectory, drop counters and table checksum must equal the
+   single-process run fed by the concatenation of the same two per-process
+   streams.
+
+Exercised by tests/test_multihost.py.
 
 Usage:
-  python tools/multihost_sim.py            # launcher (spawns 2 workers)
-  python tools/multihost_sim.py worker <pid> <port>   # internal
+  python tools/multihost_sim.py            # launcher (spawns 2 workers, both phases)
+  python tools/multihost_sim.py worker <pid> <port> <shard_dir>   # internal
 """
 
 import json
@@ -87,7 +101,109 @@ def _train(mesh_devices=None):
     return losses, checksum
 
 
-def worker(process_id: int, port: int) -> None:
+STREAM_STEPS = 4
+STREAM_SHARDS = 8
+ROWS_PER_SHARD = 256
+
+
+def _write_stream_shards(shard_dir: str):
+    """Equal-sized shard files (equal size keeps per-process batch counts
+    aligned — the multi-controller streaming contract, see
+    parallel.assemble_process_local)."""
+    from deepctr_tpu.data import make_schema, synthetic
+
+    schema = make_schema([("a", 16), ("b", 48), ("c", 96), ("tags", 24, 2)])
+    ds = synthetic.generate(schema, num_examples=STREAM_SHARDS * ROWS_PER_SHARD,
+                            k=3, seed=SEED + 1)
+    os.makedirs(shard_dir, exist_ok=True)
+    paths = [os.path.join(shard_dir, f"shard_{i}.yx")
+             for i in range(STREAM_SHARDS)]
+    if not all(os.path.exists(p) for p in paths):  # launcher writes once;
+        for i, p in enumerate(paths):              # workers just read
+            sl = slice(i * ROWS_PER_SHARD, (i + 1) * ROWS_PER_SHARD)
+            synthetic.write_yx_file(
+                synthetic.SyntheticDataset(schema, ds.ids[sl], ds.labels[sl],
+                                           ds.bayes_logits[sl]),
+                p,
+            )
+    return schema
+
+
+def _make_source(shard_dir: str, schema, pid: int):
+    from deepctr_tpu.data.stream import StreamSource
+
+    return StreamSource(
+        paths=os.path.join(shard_dir, "shard_*.yx"),
+        schema=schema,
+        batch_size=BATCH // NUM_PROC,      # local share of the global batch
+        buffer_rows=256,
+        seed=SEED,
+        process_index=pid,
+        process_count=NUM_PROC,
+    )
+
+
+def _train_stream(shard_dir: str, mesh_devices=None, pid: int | None = None):
+    """STREAM_STEPS sharded steps under the recommended 2-host recipe
+    (cf=1.25, bf16 wire), fed process-locally from disjoint shard subsets.
+
+    Multi-process mode (pid given): this process streams only ITS shards
+    and assembles global batches from local halves.  Single-process
+    reference (pid None): both per-process streams run in-process and their
+    halves are concatenated in device order — the same global batches.
+    Returns (losses, drops, checksum)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from deepctr_tpu.models import FMModel
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.parallel import (
+        assemble_process_local,
+        init_sharded_state,
+        make_data_mesh,
+        make_sharded_train_step,
+    )
+    from deepctr_tpu.parallel.mesh import data_sharding
+
+    schema = _write_stream_shards(shard_dir)  # idempotent, deterministic
+    model = FMModel(k=3)
+    sopt, dopt = SparseAdagrad(0.1), optax.sgd(0.05)
+    mesh = make_data_mesh(devices=mesh_devices)
+    state = init_sharded_state(model, schema, sopt, dopt, mesh, seed=SEED)
+    step = make_sharded_train_step(
+        model, schema, sopt, dopt, mesh,
+        capacity_factor=1.25, exchange_dtype="bf16",  # SCALING.md recipe
+    )
+    s = data_sharding(mesh)
+    if pid is not None:
+        streams = [_make_source(shard_dir, schema, pid).batches(0)]
+    else:
+        streams = [_make_source(shard_dir, schema, p).batches(0)
+                   for p in range(NUM_PROC)]
+    losses, drops = [], []
+    for _ in range(STREAM_STEPS):
+        parts = [next(it) for it in streams]
+        ids = np.concatenate([b.ids for b in parts])
+        y = np.concatenate([b.labels for b in parts])
+        w = np.concatenate([b.weights for b in parts])
+        if pid is not None:
+            ids_d, y_d, w_d = assemble_process_local(s, ids, y, w)
+        else:
+            ids_d = jax.device_put(ids, s)
+            y_d = jax.device_put(y, s)
+            w_d = jax.device_put(w, s)
+        state, (loss, dropped) = step(state, ids_d, y_d, w_d)
+        losses.append(float(loss))
+        drops.append(int(dropped))
+    checksum = float(
+        jax.jit(lambda t: jnp.sum(jnp.abs(t)) + jnp.sum(t * t))(state.table)
+    )
+    return losses, drops, checksum
+
+
+def worker(process_id: int, port: int, shard_dir: str) -> None:
     import jax
 
     jax.distributed.initialize(
@@ -98,12 +214,22 @@ def worker(process_id: int, port: int) -> None:
     assert jax.process_count() == NUM_PROC
     assert len(jax.devices()) == NUM_PROC * LOCAL_DEVICES  # global view
     losses, checksum = _train(mesh_devices=jax.devices())
-    print("RESULT " + json.dumps({"pid": process_id, "losses": losses,
-                                  "checksum": checksum}), flush=True)
+    s_losses, s_drops, s_checksum = _train_stream(
+        shard_dir, mesh_devices=jax.devices(), pid=process_id
+    )
+    print("RESULT " + json.dumps({
+        "pid": process_id, "losses": losses, "checksum": checksum,
+        "stream_losses": s_losses, "stream_drops": s_drops,
+        "stream_checksum": s_checksum,
+    }), flush=True)
 
 
 def launch() -> int:
+    import tempfile
+
     port = 17737 + (os.getpid() % 500)
+    shard_dir = tempfile.mkdtemp(prefix="multihost_stream_")
+    _write_stream_shards(shard_dir)  # written once, workers only read
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -116,7 +242,7 @@ def launch() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker", str(i),
-             str(port)],
+             str(port), shard_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -150,6 +276,7 @@ def launch() -> int:
 
     jax.config.update("jax_platforms", "cpu")
     ref_losses, ref_checksum = _train()
+    ref_s_losses, ref_s_drops, ref_s_checksum = _train_stream(shard_dir)
 
     import numpy as np
 
@@ -158,15 +285,26 @@ def launch() -> int:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(results[pid]["checksum"], ref_checksum,
                                    rtol=1e-5)
+        np.testing.assert_allclose(results[pid]["stream_losses"],
+                                   ref_s_losses, rtol=1e-4, atol=1e-5)
+        assert results[pid]["stream_drops"] == ref_s_drops, (
+            pid, results[pid]["stream_drops"], ref_s_drops)
+        np.testing.assert_allclose(results[pid]["stream_checksum"],
+                                   ref_s_checksum, rtol=1e-4)
     print(
         "MULTIHOST SIM OK — 2-process x 4-device DCN trajectory == "
         f"single-process 8-device: losses={ref_losses}"
+    )
+    print(
+        "MULTIHOST STREAM OK — process-aware disjoint-shard streaming "
+        "under the recommended recipe (cf=1.25, bf16 wire) matches the "
+        f"single-process stream: losses={ref_s_losses} drops={ref_s_drops}"
     )
     return 0
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     else:
         sys.exit(launch())

@@ -295,8 +295,8 @@ def run(seeds: int, examples: int, out_path: str,
             f"training procedure (deepctr_tpu/reference_impl). Synthetic "
             f"iPinYou-shaped data, {examples} examples, {seeds} seeds, "
             f"{epochs} epochs, SGD. SNN ({pre_epochs} pretrain epochs, "
-            f"m={pre_m}, lr={pre_lr}, hidden1={h1}) decomposes into two "
-            f"tight comparisons because one end-to-end comparison is "
+            f"m={pre_m}, lr={pre_lr}, hidden1={h1}) decomposes into "
+            f"three tight comparisons because one end-to-end comparison is "
             f"noise-bound (per-seed SNN AUC spread ~±0.005 from the "
             f"pretraining RNG draw alone — streams are host-NumPy on the "
             f"reference side and jax.random on ours by construction): "
