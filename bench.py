@@ -71,6 +71,16 @@ def _config_key():
 
 def main():
     import jax
+
+    # persistent compilation cache: the full-vocab scan programs can cost
+    # minutes to compile through the tunneled runtime; repeat invocations
+    # (and the bench_suite tools) share /tmp entries
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/deepctr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import optax
 

@@ -85,10 +85,21 @@ def available() -> bool:
         return False
 
 
+_ROW_BYTES_HINT = [48.0]  # EWMA of observed bytes/row, schema-agnostic start
+
+
 def parse_yx_bytes(data: bytes, schema) -> tuple[np.ndarray, np.ndarray]:
-    """Parse a whole yx byte buffer -> (labels float32[B], ids int32[B, S])."""
+    """Parse a whole yx byte buffer -> (labels float32[B], ids int32[B, S]).
+
+    Output capacity comes from a bytes/row running estimate (+25% slack)
+    rather than a counting pre-pass — the count pass costs ~5% of parse
+    time in the streaming hot loop.  If the estimate is ever too small
+    (yx_parse returns -1) we fall back to the exact count and re-parse."""
     lib = _lib()
-    n = lib.yx_count_rows(data, len(data))
+    n = min(
+        int(len(data) / _ROW_BYTES_HINT[0] * 1.25) + 64,
+        len(data) // 2 + 1,  # a non-blank row is >= 2 bytes ("0\n")
+    )
     bounds = np.cumsum([f.vocab_size for f in schema.fields]).astype(np.int64)
     slot_offsets = schema.slot_offsets.astype(np.int32)
     max_lens = np.asarray([f.max_len for f in schema.fields], dtype=np.int32)
@@ -98,8 +109,20 @@ def parse_yx_bytes(data: bytes, schema) -> tuple[np.ndarray, np.ndarray]:
         data, len(data), bounds, len(schema.fields), slot_offsets, max_lens,
         schema.num_slots, schema.pad_id, labels, ids.reshape(-1), n,
     )
+    if wrote == -1:  # estimate too small: exact count, then re-parse
+        n = lib.yx_count_rows(data, len(data))
+        labels = np.empty(n, dtype=np.float32)
+        ids = np.empty((n, schema.num_slots), dtype=np.int32)
+        wrote = lib.yx_parse(
+            data, len(data), bounds, len(schema.fields), slot_offsets,
+            max_lens, schema.num_slots, schema.pad_id, labels,
+            ids.reshape(-1), n,
+        )
     if wrote < 0:
         raise RuntimeError(f"yx_parse failed with code {wrote}")
+    if wrote > 0:
+        obs = len(data) / wrote
+        _ROW_BYTES_HINT[0] = 0.7 * _ROW_BYTES_HINT[0] + 0.3 * obs
     return labels[:wrote], ids[:wrote]
 
 

@@ -108,7 +108,10 @@ class StreamSource:
     batch_size: int
     fmt: str = "yx"
     buffer_rows: int = 1 << 18
-    chunk_bytes: int = 4 << 20
+    # 16 MB chunks: big enough that the per-chunk Python/GIL handoff costs
+    # amortise away (measured 3.5M rows/s vs 2.4M at 4 MB on the 2-core
+    # host); residency = buffer + prefetch-window x chunk rows, see stats
+    chunk_bytes: int = 16 << 20
     seed: int = 0
     use_native: bool = True
     featindex: object = None  # FeatIndex, required for fmt="yx-featindex"

@@ -184,44 +184,57 @@ def bench_parser(results):
 def bench_stream(results):
     """Streaming ingestion throughput (host-only): shard files -> shuffled
     batches through StreamSource, vs the raw native-parser floor.  The gap
-    to the parser floor is the shuffle-buffer bookkeeping."""
+    to the parser floor is the shuffle-buffer bookkeeping.
+
+    Protocol (round 4): 1.2M rows over 8 shards so the steady-state
+    (parse-ahead threads overlapping the reservoir) dominates the
+    fill/drain edges; epoch 0 warms the page cache, epochs 1-5 are timed
+    and the MEDIAN is reported with a _sigma key (single-epoch text
+    timings on the 2-core host swing ~±30% with scheduler luck — same
+    median discipline as the training headline)."""
     from deepctr_tpu.data import StreamSource, ipinyou_like_schema, synthetic
 
     schema = ipinyou_like_schema()
-    ds = synthetic.generate(schema, num_examples=400_000, k=2, seed=9)
+    n_shards, per = 8, 150_000
+    ds = synthetic.generate(schema, num_examples=n_shards * per, k=2, seed=9)
     paths = []
-    per = 100_000
-    for i in range(4):
+    for i in range(n_shards):
         p = f"/tmp/bench_stream_{i}.yx"
         sl = slice(i * per, (i + 1) * per)
-        synthetic.write_yx_file(
-            synthetic.SyntheticDataset(schema, ds.ids[sl], ds.labels[sl],
-                                       ds.bayes_logits[sl]), p)
+        if not os.path.exists(p):
+            synthetic.write_yx_file(
+                synthetic.SyntheticDataset(schema, ds.ids[sl], ds.labels[sl],
+                                           ds.bayes_logits[sl]), p)
         paths.append(p)
     size_mb = sum(os.path.getsize(p) for p in paths) / 1e6
 
-    src = StreamSource(paths=paths, schema=schema, batch_size=8192,
-                       buffer_rows=1 << 18, seed=0)
-    t0 = time.perf_counter()
-    rows = sum(b.ids.shape[0] for b in src.batches(0))
-    dt = time.perf_counter() - t0
-    results["stream_rows_per_s"] = rows / dt
-    results["stream_mb_per_s"] = size_mb / dt
-    print(f"stream: {rows} rows in {dt:.2f}s -> {rows/dt:,.0f} rows/s "
-          f"({size_mb/dt:.0f} MB/s text)")
+    def epoch_rate(paths, epoch):
+        src = StreamSource(paths=paths, schema=schema, batch_size=8192,
+                           buffer_rows=1 << 18, seed=0)
+        t0 = time.perf_counter()
+        rows = sum(b.ids.shape[0] for b in src.batches(epoch))
+        return rows / (time.perf_counter() - t0)
+
+    epoch_rate(paths, 0)  # page-cache warmup
+    rates = [epoch_rate(paths, e) for e in range(1, 6)]
+    rate = float(np.median(rates))
+    results["stream_rows_per_s"] = rate
+    results["stream_rows_per_s_sigma"] = float(np.std(rates))
+    results["stream_mb_per_s"] = rate * size_mb / (n_shards * per)
+    print(f"stream: median {rate:,.0f} rows/s σ {np.std(rates):,.0f} "
+          f"({results['stream_mb_per_s']:.0f} MB/s text; "
+          f"{', '.join(f'{r/1e6:.2f}M' for r in sorted(rates))})")
 
     # npz cache shards (multi-epoch fast lane: parse once, stream packed)
     from deepctr_tpu.data.cache import cache_text_file
 
     npz_paths = [cache_text_file(p, schema) for p in paths]
-    src2 = StreamSource(paths=npz_paths, schema=schema, batch_size=8192,
-                        buffer_rows=1 << 18, seed=0)
-    t0 = time.perf_counter()
-    rows2 = sum(b.ids.shape[0] for b in src2.batches(0))
-    dt2 = time.perf_counter() - t0
-    results["stream_npz_rows_per_s"] = rows2 / dt2
-    print(f"stream npz: {rows2} rows in {dt2:.2f}s -> "
-          f"{rows2/dt2:,.0f} rows/s")
+    epoch_rate(npz_paths, 0)
+    nrates = [epoch_rate(npz_paths, e) for e in range(1, 6)]
+    results["stream_npz_rows_per_s"] = float(np.median(nrates))
+    results["stream_npz_rows_per_s_sigma"] = float(np.std(nrates))
+    print(f"stream npz: median {results['stream_npz_rows_per_s']:,.0f} "
+          f"rows/s σ {np.std(nrates):,.0f}")
 
 
 def bench_headline_repeats(results, reps: int = 5):
@@ -372,6 +385,54 @@ def bench_stream_train(results):
     results["train_stream_examples_per_s"] = rows / dt
     print(f"train-while-streaming: {rows} rows in {dt:.2f}s -> "
           f"{rows/dt:,.0f} ex/s")
+
+
+def bench_dispatch_wall(results):
+    """Environment transport attribution for the streaming story: the
+    WALL-CLOCK cost of scan dispatches at the headline config with inputs
+    already device-resident (no host pipeline, no H2D).  The gap between
+    this and the marginal-protocol headline is the tunneled runtime's
+    per-dispatch overhead — an environment ceiling that binds ANY
+    host-driven loop here (streaming or in-RAM alike), not a property of
+    the host pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepctr_tpu.data import ipinyou_full_schema, synthetic
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.ops.split_embed import make_split_plan
+    from deepctr_tpu.train import init_state
+    from deepctr_tpu.train.step import make_scan_train_step
+
+    schema = ipinyou_full_schema()
+    B, T = 8192, 8
+    model = make_fnn(schema, k=10,
+                     mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5),
+                     use_pallas=True)
+    sopt = SparseAdagrad(0.05)
+    dopt = optax.adagrad(0.02)
+    state = init_state(model, schema, sopt, dopt, seed=0, table_dtype="bf16")
+    scan_step = make_scan_train_step(model, schema, sopt, dopt,
+                                     split=make_split_plan(schema))
+    ds = synthetic.generate(schema, num_examples=T * B, k=2, seed=5)
+    chunk = (jnp.asarray(ds.ids).reshape(T, B, -1),
+             jnp.asarray(ds.labels).reshape(T, B),
+             jnp.ones((T, B), jnp.float32))
+    float(chunk[0].sum())
+    state, losses = scan_step(state, *chunk)  # compile + warm
+    np.asarray(losses)
+    N = 8
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, losses = scan_step(state, *chunk)
+    np.asarray(losses)
+    dt = time.perf_counter() - t0
+    results["dispatch_wall_ms_per_scan8"] = dt / N * 1e3
+    results["train_inram_wall_examples_per_s"] = N * T * B / dt
+    print(f"pre-staged wall: {N} scan-8 dispatches in {dt:.1f}s -> "
+          f"{dt/N:.2f}s/dispatch, {N*T*B/dt:,.0f} ex/s wall")
 
 
 def bench_h2d(results):
@@ -622,6 +683,8 @@ def main():
         bench_stream_train(results)
     if "h2d" in sections:
         bench_h2d(results)
+    if "dispatch" in sections:
+        bench_dispatch_wall(results)
     if "headline" in sections:
         bench_headline_repeats(results)
     with open(acc_path, "w") as f:
