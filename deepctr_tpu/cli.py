@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 import numpy as np
@@ -210,6 +211,16 @@ def load_data(cfg):
 def run(cfg) -> dict:
     import jax
 
+    # persistent compilation cache: production-shape scan programs can cost
+    # minutes to compile through remote runtimes; share compiled artifacts
+    # across invocations (harmless no-op where unsupported)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("DEEPCTR_JAX_CACHE",
+                                         "/tmp/deepctr_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if cfg.train.distributed:

@@ -129,18 +129,30 @@ def fit(
         if scan_step is not None and train_source is not None:
             import jax.numpy as jnp
 
+            from collections import deque
+
             it = train_source.scan_chunks(epoch, scan_steps)
             if prefetch:
                 # chunk assembly + H2D staging on a background thread while
                 # the device runs the previous scan dispatch — the streaming
                 # path's host/device overlap (VERDICT r3 Missing #3)
                 it = DevicePrefetcher(it, depth=2)
+            # dispatch throttle: fetching the loss scalar of the chunk
+            # W dispatches back bounds in-flight work (and therefore host
+            # memory pinned by undelivered input buffers) to W chunks —
+            # without it a slow transport link lets the async loop run
+            # arbitrarily far ahead (measured: +1.2 GB RSS on an 8.4M-row
+            # epoch through the tunneled runtime)
+            inflight: deque = deque()
             for nb, (ids_t, y_t, w_t) in it:
                 state, chunk_losses = scan_step(
                     state, jnp.asarray(ids_t), jnp.asarray(y_t),
                     jnp.asarray(w_t), lr_scale
                 )
                 losses.append(chunk_losses[:nb].sum())
+                inflight.append(losses[-1])
+                if len(inflight) > 8:
+                    float(inflight.popleft())
                 n_batches += nb
         elif scan_step is not None:
             import jax.numpy as jnp
