@@ -7,6 +7,7 @@ exists in fixed-field CTR data); the scaling axes are batch (DP) and
 embedding-table rows (row sharding + all-to-all).
 """
 
+from .hostckpt import load_host_shards, save_host_shards
 from .mesh import (DATA_AXIS, assemble_process_local, data_sharding,
                    make_data_mesh, replicated, shard_batch_arrays)
 from .comm import CommVolume, comm_volume, dense_param_bytes, exchange_capacity, predict_scaling
@@ -28,6 +29,8 @@ __all__ = [
     "DATA_AXIS",
     "data_sharding",
     "assemble_process_local",
+    "load_host_shards",
+    "save_host_shards",
     "make_data_mesh",
     "replicated",
     "shard_batch_arrays",

@@ -24,3 +24,8 @@ def test_two_process_dcn_trajectory_matches_single_process():
     # phase 2: process-aware streaming (disjoint shard subsets per process,
     # process-local batch assembly, recommended cf=1.25 + bf16-wire recipe)
     assert "MULTIHOST STREAM OK" in out.stdout, out.stdout + out.stderr
+    # phase 3: kill-one-host fault drill — worker 1 dies mid-step, the
+    # survivor's collective must stall (failure detectable), and a fresh
+    # cluster restored from per-host shard checkpoints
+    # (parallel/hostckpt.py) matches the uninterrupted trajectory
+    assert "MULTIHOST FAULT OK" in out.stdout, out.stdout + out.stderr

@@ -641,3 +641,66 @@ def test_sharded_bf16_table_matches_single_device(mesh, tiny_schema,
     (ids_d,) = shard_batch_arrays(mesh, ds.ids[:64])
     logits = ev(sst.table, sst.dense, ids_d)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_host_shard_checkpoint_roundtrip_and_resume(tiny_schema, tiny_dataset,
+                                                    tmp_path):
+    """Per-host sharded checkpoint (parallel/hostckpt.py): every leaf
+    survives save/load bitwise, and training continued from the reloaded
+    state matches the uninterrupted trajectory exactly (the multi-host
+    restart-from-checkpoint mechanism; the 2-process kill+restore drill is
+    tools/multihost_sim.py phase 3)."""
+    import optax
+
+    from deepctr_tpu.models import FMModel
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.parallel import (
+        init_sharded_state,
+        load_host_shards,
+        make_data_mesh,
+        make_sharded_train_step,
+        save_host_shards,
+        shard_batch_arrays,
+    )
+
+    ds = tiny_dataset
+    schema = tiny_schema
+    mesh = make_data_mesh(8)
+    model = FMModel(k=3)
+    sopt, dopt = SparseAdagrad(0.1), optax.sgd(0.05)
+    step = make_sharded_train_step(model, schema, sopt, dopt, mesh,
+                                   capacity_factor=8.0)
+    B = 64
+    batches = [
+        (ds.ids[i * B:(i + 1) * B], ds.labels[i * B:(i + 1) * B],
+         np.ones(B, np.float32))
+        for i in range(4)
+    ]
+
+    def run_steps(state, batch_list):
+        losses = []
+        for ids, y, w in batch_list:
+            state, (loss, dropped) = step(
+                state, *shard_batch_arrays(mesh, ids, y, w))
+            losses.append(float(loss))
+        return state, losses
+
+    st0 = init_sharded_state(model, schema, sopt, dopt, mesh, seed=3)
+    st2, losses01 = run_steps(st0, batches[:2])
+    save_host_shards(str(tmp_path / "ck"), st2, epoch=1)
+    # snapshot before the continuation donates st2's buffers
+    st2_np = [np.asarray(x) for x in jax.tree_util.tree_leaves(st2)]
+    st_full, losses23 = run_steps(st2, batches[2:])
+
+    like = init_sharded_state(model, schema, sopt, dopt, mesh, seed=99)
+    st_re, epoch = load_host_shards(str(tmp_path / "ck"), like)
+    assert epoch == 1
+    # bitwise leaf equality after the roundtrip
+    for a, b in zip(st2_np, jax.tree_util.tree_leaves(st_re)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # resumed trajectory == uninterrupted trajectory
+    st_resumed, losses23_re = run_steps(st_re, batches[2:])
+    np.testing.assert_allclose(losses23_re, losses23, rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(st_full),
+                    jax.tree_util.tree_leaves(st_resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -203,6 +203,102 @@ def _train_stream(shard_dir: str, mesh_devices=None, pid: int | None = None):
     return losses, drops, checksum
 
 
+def _fault_workload(mesh_devices=None):
+    """Deterministic tiny workload shared by the fault drill's phases and
+    its single-process reference: (mesh, step, state, batches)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from deepctr_tpu.data import make_schema, synthetic
+    from deepctr_tpu.models import FMModel
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.parallel import (
+        init_sharded_state,
+        make_data_mesh,
+        make_sharded_train_step,
+    )
+
+    schema = make_schema([("a", 16), ("b", 48), ("c", 96), ("tags", 24, 2)])
+    ds = synthetic.generate(schema, num_examples=BATCH * 4, k=3, seed=SEED + 7)
+    model = FMModel(k=3)
+    sopt, dopt = SparseAdagrad(0.1), optax.sgd(0.05)
+    mesh = make_data_mesh(devices=mesh_devices)
+    state = init_sharded_state(model, schema, sopt, dopt, mesh, seed=SEED)
+    step = make_sharded_train_step(model, schema, sopt, dopt, mesh,
+                                   capacity_factor=8.0)
+    batches = [
+        (ds.ids[i * BATCH:(i + 1) * BATCH],
+         ds.labels[i * BATCH:(i + 1) * BATCH],
+         np.ones(BATCH, np.float32))
+        for i in range(4)
+    ]
+    return mesh, step, state, batches
+
+
+def _fault_run(mesh, step, state, batches):
+    import jax
+    import jax.numpy as jnp
+
+    from deepctr_tpu.parallel import shard_batch_arrays
+
+    losses = []
+    for ids, y, w in batches:
+        state, (loss, dropped) = step(
+            state, *shard_batch_arrays(mesh, ids, y, w))
+        losses.append(float(loss))
+    checksum = float(
+        jax.jit(lambda t: jnp.sum(jnp.abs(t)) + jnp.sum(t * t))(state.table)
+    )
+    return state, losses, checksum
+
+
+def worker_fault(process_id: int, port: int, ckpt_dir: str, mode: str) -> None:
+    """Fault-injection drill (SURVEY.md §5 failure row, the stretch item).
+
+    mode="crash": train 2 steps, save the per-host sharded checkpoint
+    (parallel/hostckpt.py), then process 1 dies hard (os._exit) while
+    process 0 attempts step 2 — its collective can never complete, which
+    is exactly the observable a real coordinator watches for.
+    mode="resume": a fresh 2-process cluster restores each host's shard
+    slice from disk and finishes steps 2-3.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=NUM_PROC,
+        process_id=process_id,
+    )
+    from deepctr_tpu.parallel import (
+        load_host_shards,
+        save_host_shards,
+        shard_batch_arrays,
+    )
+
+    mesh, step, state, batches = _fault_workload(jax.devices())
+    if mode == "crash":
+        for ids, y, w in batches[:2]:
+            state, (loss, _d) = step(
+                state, *shard_batch_arrays(mesh, ids, y, w))
+            float(loss)
+        save_host_shards(ckpt_dir, state, epoch=2)
+        print(f"CKPT_SAVED {process_id}", flush=True)
+        if process_id == 1:
+            os._exit(13)  # simulated host death, no cleanup
+        # survivor: this step's all_to_all/psum can never complete
+        state, (loss, _d) = step(
+            state, *shard_batch_arrays(mesh, *batches[2]))
+        print(f"PHASE_A_DONE {float(loss)}", flush=True)  # must NOT happen
+    else:
+        like = state
+        state, epoch = load_host_shards(ckpt_dir, like)
+        assert epoch == 2
+        state, losses, checksum = _fault_run(mesh, step, state, batches[2:])
+        print("RESULT " + json.dumps({"pid": process_id, "losses": losses,
+                                      "checksum": checksum}), flush=True)
+
+
 def worker(process_id: int, port: int, shard_dir: str) -> None:
     import jax
 
@@ -300,11 +396,73 @@ def launch() -> int:
         "under the recommended recipe (cf=1.25, bf16 wire) matches the "
         f"single-process stream: losses={ref_s_losses} drops={ref_s_drops}"
     )
+
+    # ---- phase 3: kill-one-host fault drill + per-host-shard restore ----
+    ckpt_dir = tempfile.mkdtemp(prefix="multihost_faultckpt_")
+    port3 = port + 1
+
+    def spawn_fault(mode, prt):
+        return [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "worker-fault",
+                 str(i), str(prt), ckpt_dir, mode],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(NUM_PROC)
+        ]
+
+    crash = spawn_fault("crash", port3)
+    # worker 1 self-destructs right after checkpointing; wait for it
+    deadline = time.time() + 300
+    while crash[1].poll() is None and time.time() < deadline:
+        time.sleep(0.5)
+    assert crash[1].poll() == 13, f"worker 1 exit {crash[1].poll()}"
+    # failure detection: the survivor's step-2 collective must NOT complete
+    grace = time.time() + 10
+    while time.time() < grace and crash[0].poll() is None:
+        time.sleep(0.5)
+    survivor_hung = crash[0].poll() is None
+    if survivor_hung:
+        crash[0].kill()  # the "coordinator" declares the worker lost
+    out0, _ = crash[0].communicate()
+    assert "PHASE_A_DONE" not in out0, (
+        "survivor completed a collective missing one participant:\n" + out0)
+    assert "CKPT_SAVED 0" in out0, out0
+
+    resume = spawn_fault("resume", port3 + 1)
+    rres = {}
+    for p in resume:
+        out, _ = p.communicate(timeout=max(5.0, deadline - time.time()))
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                rres[r["pid"]] = r
+    assert len(rres) == NUM_PROC, f"resume workers failed: {sorted(rres)}"
+
+    # reference: uninterrupted single-process run of all 4 steps
+    mesh_r, step_r, st_r, batches_r = _fault_workload()
+    _, ref_f_losses, ref_f_checksum = _fault_run(mesh_r, step_r, st_r,
+                                                 batches_r)
+    for pid in range(NUM_PROC):
+        np.testing.assert_allclose(rres[pid]["losses"], ref_f_losses[2:],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(rres[pid]["checksum"], ref_f_checksum,
+                                   rtol=1e-5)
+    print(
+        "MULTIHOST FAULT OK — killed worker 1 mid-step (survivor stall "
+        "detected, no phantom collective), restarted from per-host shard "
+        f"checkpoints, resumed steps match uninterrupted run: "
+        f"losses={ref_f_losses[2:]}"
+    )
     return 0
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "worker-fault":
+        worker_fault(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                     sys.argv[5])
     else:
         sys.exit(launch())
