@@ -422,6 +422,15 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
     # the prepared single-device state (with any pretraining/FM-init/resume
     # applied in run()) is the source of truth — pack it onto the mesh
     sstate = sharded_state_from_state(state, mesh)
+    # multi-controller resume: per-host shard files supersede the packed
+    # state (each process reloads only its own slice)
+    hs_dir = (cfg.train.checkpoint_path + ".hostshards"
+              if cfg.train.checkpoint_path else None)
+    if jax.process_count() > 1 and hs_dir and os.path.isdir(hs_dir):
+        from .parallel import load_host_shards
+
+        sstate, start_epoch = load_host_shards(hs_dir, sstate)
+        logger.log({"event": "resumed_hostshards", "epoch": start_epoch})
     step = make_sharded_train_step(
         model, schema, sparse_opt, dense_opt, mesh,
         l2=cfg.optim.l2, capacity_factor=cfg.train.capacity_factor,
@@ -581,11 +590,22 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
             cfg.train.checkpoint_path
             and (epoch + 1) % max(cfg.train.checkpoint_every, 1) == 0
         ):
-            save_train_state(
-                cfg.train.checkpoint_path,
-                host_state_from_sharded(state, schema.padded_vocab_size, mesh),
-                epoch=epoch + 1, meta=ckpt_meta, schema=schema,
-            )
+            if jax.process_count() > 1:
+                # multi-controller: the portable gather is impossible (no
+                # process addresses remote shards) — save per-host shard
+                # files instead (parallel/hostckpt.py; kill+restore drilled
+                # in tools/multihost_sim.py phase 3)
+                from .parallel import save_host_shards
+
+                save_host_shards(cfg.train.checkpoint_path + ".hostshards",
+                                 state, epoch=epoch + 1)
+            else:
+                save_train_state(
+                    cfg.train.checkpoint_path,
+                    host_state_from_sharded(state, schema.padded_vocab_size,
+                                            mesh),
+                    epoch=epoch + 1, meta=ckpt_meta, schema=schema,
+                )
         if rec["auc"] > best_auc:
             best_auc, best_epoch, since = rec["auc"], epoch, 0
         else:
@@ -599,17 +619,24 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
         logger.log(rec)
         best_auc, best_epoch = ev["auc"], start_epoch
     if cfg.train.checkpoint_path:
-        host_state = host_state_from_sharded(
-            state, schema.padded_vocab_size, mesh
-        )
-        save_train_state(cfg.train.checkpoint_path, host_state,
-                         epoch=epochs_done, meta=ckpt_meta, schema=schema)
-        if cfg.model.name == "fm":
-            from .utils.checkpoint import save_fm_embeddings
+        if jax.process_count() > 1:
+            from .parallel import save_host_shards
 
-            save_fm_embeddings(
-                cfg.train.checkpoint_path + ".fm_table", host_state.table
+            save_host_shards(cfg.train.checkpoint_path + ".hostshards",
+                             state, epoch=epochs_done)
+            logger.log({"event": "saved_hostshards", "epoch": epochs_done})
+        else:
+            host_state = host_state_from_sharded(
+                state, schema.padded_vocab_size, mesh
             )
+            save_train_state(cfg.train.checkpoint_path, host_state,
+                             epoch=epochs_done, meta=ckpt_meta, schema=schema)
+            if cfg.model.name == "fm":
+                from .utils.checkpoint import save_fm_embeddings
+
+                save_fm_embeddings(
+                    cfg.train.checkpoint_path + ".fm_table", host_state.table
+                )
     return {"best_auc": float(best_auc), "best_epoch": best_epoch,
             "history": history}
 
