@@ -17,7 +17,7 @@ def test_two_process_dcn_trajectory_matches_single_process():
     env.pop("XLA_FLAGS", None)  # launcher/workers set their own device count
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost_sim.py")],
-        env=env, capture_output=True, text=True, timeout=520,
+        env=env, capture_output=True, text=True, timeout=800,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIHOST SIM OK" in out.stdout, out.stdout + out.stderr
@@ -29,3 +29,7 @@ def test_two_process_dcn_trajectory_matches_single_process():
     # cluster restored from per-host shard checkpoints
     # (parallel/hostckpt.py) matches the uninterrupted trajectory
     assert "MULTIHOST FAULT OK" in out.stdout, out.stdout + out.stderr
+    # phase 4: the real CLI in a 2-process cluster — trains, saves
+    # hostshards, is interrupted, resumes, and matches the uninterrupted
+    # single-process CLI run (covers cli.py's multi-controller branches)
+    assert "MULTIHOST CLI OK" in out.stdout, out.stdout + out.stderr

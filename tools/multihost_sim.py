@@ -299,6 +299,64 @@ def worker_fault(process_id: int, port: int, ckpt_dir: str, mode: str) -> None:
                                       "checksum": checksum}), flush=True)
 
 
+def _cli_config(data_dir: str, epochs: int, ckpt: str | None) -> dict:
+    return {
+        "data": {
+            "schema_path": os.path.join(data_dir, "schema.json"),
+            "train_path": os.path.join(data_dir, "train.yx"),
+            "test_path": os.path.join(data_dir, "test.yx"),
+            "use_cache": False,
+        },
+        "model": {"name": "fm", "k": 3},
+        "train": {
+            "batch_size": 64, "epochs": epochs, "seed": SEED,
+            "early_stop_patience": 99, "sharded": True,
+            "capacity_factor": 8.0, "prefetch": False,
+            "checkpoint_path": ckpt, "checkpoint_every": 1,
+        },
+        "optim": {"sparse": "adagrad", "sparse_lr": 0.1,
+                  "dense": "sgd", "dense_lr": 0.05, "l2": 0.0},
+    }
+
+
+def _write_cli_data(data_dir: str) -> None:
+    from deepctr_tpu.data import make_schema, synthetic
+
+    os.makedirs(data_dir, exist_ok=True)
+    schema = make_schema([("a", 16), ("b", 48), ("c", 96), ("tags", 24, 2)])
+    tr = synthetic.generate(schema, num_examples=1024, k=3, seed=SEED + 3)
+    te = synthetic.generate(schema, num_examples=512, k=3, seed=SEED + 4)
+    trp = os.path.join(data_dir, "train.yx")
+    if not os.path.exists(trp):
+        synthetic.write_yx_file(tr, trp)
+        synthetic.write_yx_file(te, os.path.join(data_dir, "test.yx"))
+        with open(os.path.join(data_dir, "schema.json"), "w") as f:
+            f.write(schema.to_json())
+
+
+def worker_cli(process_id: int, port: int, data_dir: str, epochs: int,
+               ckpt: str) -> None:
+    """Phase 4: the ACTUAL CLI (`cli.run`, sharded loop) in a 2-process
+    cluster — covers the multi-controller checkpoint branches
+    (hostshards periodic save / resume) end to end."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=NUM_PROC,
+        process_id=process_id,
+    )
+    from deepctr_tpu.cli import run
+    from deepctr_tpu.config import RunConfig
+
+    res = run(RunConfig.from_dict(_cli_config(data_dir, epochs, ckpt)))
+    print("RESULT " + json.dumps({
+        "pid": process_id, "best_auc": res["best_auc"],
+        "last": {k: v for k, v in res["history"][-1].items()
+                 if k in ("epoch", "auc", "logloss")},
+    }), flush=True)
+
+
 def worker(process_id: int, port: int, shard_dir: str) -> None:
     import jax
 
@@ -455,6 +513,60 @@ def launch() -> int:
         f"checkpoints, resumed steps match uninterrupted run: "
         f"losses={ref_f_losses[2:]}"
     )
+
+    # ---- phase 4: the real CLI, 2 processes, interrupt + hostshards resume
+    cli_dir = tempfile.mkdtemp(prefix="multihost_cli_")
+    _write_cli_data(cli_dir)
+    ckpt = os.path.join(cli_dir, "run.ckpt")
+
+    def spawn_cli(epochs, prt):
+        return [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "worker-cli",
+                 str(i), str(prt), cli_dir, str(epochs), ckpt],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(NUM_PROC)
+        ]
+
+    def collect(procs):
+        got, outs = {}, []
+        for p in procs:
+            out, _ = p.communicate(timeout=max(5.0, deadline - time.time()))
+            outs.append(out)
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    r = json.loads(line[len("RESULT "):])
+                    got[r["pid"]] = r
+        if len(got) != NUM_PROC:
+            for i, o in enumerate(outs):
+                print(f"--- cli worker {i} ---\n{o}")
+        assert len(got) == NUM_PROC, sorted(got)
+        return got
+
+    deadline = time.time() + 420
+    collect(spawn_cli(2, port3 + 2))        # run 2 epochs, hostshards saved
+    assert os.path.isdir(ckpt + ".hostshards"), "hostshards not written"
+    r_resumed = collect(spawn_cli(3, port3 + 3))  # resume -> epoch 2 only
+
+    # reference: uninterrupted single-process CLI run of the same schedule
+    from deepctr_tpu.cli import run as cli_run
+    from deepctr_tpu.config import RunConfig
+
+    ref = cli_run(RunConfig.from_dict(_cli_config(cli_dir, 3, None)))
+    for pid in range(NUM_PROC):
+        got = r_resumed[pid]["last"]
+        want = next(h for h in ref["history"] if h["epoch"] == got["epoch"])
+        np.testing.assert_allclose(got["auc"], want["auc"], rtol=1e-4)
+        np.testing.assert_allclose(got["logloss"], want["logloss"],
+                                   rtol=1e-4)
+    print(
+        "MULTIHOST CLI OK — 2-process cli.run trained, checkpointed "
+        "per-host shards, was interrupted and RESUMED; the resumed epoch's "
+        "eval matches the uninterrupted single-process CLI run: "
+        f"{r_resumed[0]['last']}"
+    )
     return 0
 
 
@@ -464,5 +576,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "worker-fault":
         worker_fault(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
                      sys.argv[5])
+    elif len(sys.argv) > 1 and sys.argv[1] == "worker-cli":
+        worker_cli(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                   int(sys.argv[5]), sys.argv[6])
     else:
         sys.exit(launch())
