@@ -400,6 +400,7 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
     from .data.pipeline import DevicePrefetcher, minibatches
     from .parallel import (
         DATA_AXIS,
+        assemble_process_local,
         host_state_from_sharded,
         make_data_mesh,
         make_sharded_eval_step,
@@ -456,6 +457,12 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
     history = []
     best_auc, best_epoch, since = -np.inf, -1, 0
     batch_size = cfg.train.batch_size
+    # a StreamSource in a multi-controller run produces LOCAL batches
+    # (batch_size // process_count rows per host) — every input path below
+    # must assemble them process-locally; staging a local array through the
+    # global-batch helpers would silently treat B/pc rows as the whole
+    # batch (wrong data, no error)
+    proc_local = jax.process_count() > 1 and train_source is not None
 
     # on-device streaming AUC: histograms accumulate on the sharded
     # logits and only two [num_bins] vectors ever reach the host
@@ -495,6 +502,12 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
                 # only its own [T, B_local, S] slice of the global batch
                 it = DevicePrefetcher(it, depth=2, sharding=scan_sharding,
                                       process_axis=1)
+            elif proc_local:
+                it = (
+                    (nb, assemble_process_local(scan_sharding, i_t, l_t, wt_t,
+                                                batch_axis=1))
+                    for nb, (i_t, l_t, wt_t) in it
+                )
             for nb, (ids_t, y_t, w_t) in it:
                 state, (losses, dropped) = scan_step(
                     state, ids_t, y_t, w_t, lr_scale
@@ -556,10 +569,15 @@ def _run_sharded(cfg, model, schema, sparse_opt, dense_opt,
                 )
             )
             if cfg.train.prefetch:
-                it = DevicePrefetcher(it, depth=2, sharding=batch_sharding)
+                it = DevicePrefetcher(it, depth=2, sharding=batch_sharding,
+                                      process_axis=0 if proc_local else None)
             for b in it:
                 if cfg.train.prefetch:
                     ids, y, w = b.ids, b.labels, b.weights
+                elif proc_local:
+                    ids, y, w = assemble_process_local(
+                        batch_sharding, b.ids, b.labels, b.weights
+                    )
                 else:
                     ids, y, w = shard_batch_arrays(
                         mesh, b.ids, b.labels, b.weights

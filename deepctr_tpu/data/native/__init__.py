@@ -25,11 +25,11 @@ class NativeBuildError(RuntimeError):
     pass
 
 
-def _build() -> str:
+def _build(force: bool = False) -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     out = os.path.join(_HERE, f"_yx_parser_{digest}.so")
-    if os.path.exists(out):
+    if os.path.exists(out) and not force:
         return out
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
@@ -44,12 +44,27 @@ def _build() -> str:
     return out
 
 
+def _load() -> ctypes.CDLL:
+    """Build-if-needed then dlopen; a stale/incompatible cached .so (wrong
+    ISA or OS — built with -march=native on another host) raises OSError,
+    in which case we rebuild from source on THIS host and retry once."""
+    path = _build()
+    try:
+        return ctypes.CDLL(path)
+    except OSError:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return ctypes.CDLL(_build(force=True))
+
+
 def _lib() -> ctypes.CDLL:
     global _LIB
     if _LIB is None:
         with _LOCK:
             if _LIB is None:
-                lib = ctypes.CDLL(_build())
+                lib = _load()
                 lib.yx_count_rows.restype = ctypes.c_int64
                 lib.yx_count_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64]
                 lib.yx_parse.restype = ctypes.c_int64
@@ -81,7 +96,7 @@ def available() -> bool:
     try:
         _lib()
         return True
-    except NativeBuildError:
+    except (NativeBuildError, OSError):
         return False
 
 

@@ -253,10 +253,16 @@ class StreamSource:
                         if stop.is_set():
                             return
                 except BaseException as e:  # propagate to the consumer
-                    try:
-                        q.put(("err", e), timeout=5.0)
-                    except _queue.Full:
-                        pass
+                    # same stop-aware retry loop as data items: a bounded
+                    # timeout here could silently drop the error and leave
+                    # the consumer blocked on q.get() forever (no sentinel)
+                    item = ("err", e)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.25)
+                            break
+                        except _queue.Full:
+                            continue
                     return
                 while not stop.is_set():
                     try:
@@ -443,14 +449,39 @@ class StreamSource:
             self.stats.rows_emitted += target
             return T, (ids_t, y_t, ones_w)
 
+        tail_pad = 0  # weight-0 rows padding the final drain sub-batch
         for run_ids, run_y in self._runs(epoch):
-            n = (len(run_y) // B) * B  # drop the drain tail (< one batch)
+            n = (len(run_y) // B) * B
+            rem = len(run_y) - n
+            if rem and not self.drop_remainder:
+                # only the final drain run is not a multiple of B: pad it to
+                # a full batch of weight-0 rows (mirrors batches()) so those
+                # rows still train — exactly-once holds for this setting too
+                pad = B - rem
+                run_ids = np.concatenate(
+                    [run_ids[: n + rem],
+                     np.full((pad, S), self.schema.pad_id, np.int32)]
+                )
+                run_y = np.concatenate(
+                    [run_y[: n + rem], np.zeros(pad, np.float32)]
+                )
+                n += B
+                tail_pad = pad
             if n == 0:
                 continue
             pending.append((run_ids[:n], run_y[:n], 0))
             held += n
             while held >= target:
-                yield emit_full()
+                if tail_pad and held == target:
+                    # the padded batch is the stream's last: re-emit this
+                    # (final, full) chunk with the pad rows weighted 0
+                    nb, (ids_t, y_t, _) = emit_full()
+                    w_t = np.ones(target, np.float32)
+                    w_t[target - tail_pad :] = 0.0
+                    self.stats.rows_emitted -= tail_pad
+                    yield nb, (ids_t, y_t, w_t.reshape(T, B))
+                else:
+                    yield emit_full()
 
         if held:  # final partial chunk, padded to T no-op steps
             nb = held // B
@@ -463,8 +494,10 @@ class StreamSource:
             y_t = np.concatenate(
                 parts_y + [np.zeros(padb * B, np.float32)]
             ).reshape(T, B)
-            w_t = np.concatenate(
+            w_flat = np.concatenate(
                 [np.ones(held, np.float32), np.zeros(padb * B, np.float32)]
-            ).reshape(T, B)
-            self.stats.rows_emitted += held
-            yield nb, (ids_t, y_t, w_t)
+            )
+            if tail_pad:
+                w_flat[held - tail_pad : held] = 0.0
+            self.stats.rows_emitted += held - tail_pad
+            yield nb, (ids_t, y_t, w_flat.reshape(T, B))

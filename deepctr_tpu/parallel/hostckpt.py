@@ -15,8 +15,10 @@ either direction.
 Restart contract: the restore mesh must have the same shape and the same
 process -> device assignment as the save mesh (the standard TPU restart
 invariant: a rescheduled job gets the same slice topology).  Shards are
-keyed by their global axis-0 offset, so device *ordering* within a process
-may differ as long as the assignment does not.
+keyed by their full per-dim global offsets, so device *ordering* within a
+process may differ as long as the assignment does not, and leaves
+partitioned along any axis (or replicated across a second mesh axis)
+round-trip correctly.
 
 Fault story exercised end to end in tools/multihost_sim.py phase 3: kill
 one worker mid-step, detect the stall, restart BOTH workers from the last
@@ -36,6 +38,11 @@ def _is_sharded(x) -> bool:
     return sh is not None and not sh.is_fully_replicated
 
 
+def _shard_key(index: tuple) -> str:
+    """Stable key for a shard's global region: per-dim start offsets."""
+    return "_".join(str(int(sl.start or 0)) for sl in index)
+
+
 def save_host_shards(dirpath: str, state, epoch: int = 0) -> str:
     """Write this process's slice of ``state`` to <dir>/proc<k>.npz.
 
@@ -52,8 +59,13 @@ def save_host_shards(dirpath: str, state, epoch: int = 0) -> str:
     for i, x in enumerate(leaves):
         if _is_sharded(x):
             for s in x.addressable_shards:
-                start = s.index[0].start or 0
-                payload[f"s{i}__{int(start)}"] = np.asarray(s.data)
+                # key by the FULL index tuple: two addressable shards with
+                # the same key cover the same global region (replication
+                # across another mesh axis), so the overwrite is identical
+                # data; axis-1-partitioned leaves get distinct keys instead
+                # of silently colliding on an axis-0-only key
+                key = _shard_key(s.index)
+                payload[f"s{i}__{key}"] = np.asarray(s.data)
             payload[f"__shape{i}"] = np.asarray(x.shape, np.int64)
         else:
             payload[f"r{i}"] = np.asarray(x)
@@ -86,9 +98,12 @@ def load_host_shards(dirpath: str, like):
             idx_map = x.sharding.addressable_devices_indices_map(shape)
             arrs = []
             for dev, idx in idx_map.items():
-                start = int(idx[0].start or 0)
-                shard = z[f"s{i}__{start}"]
-                arrs.append(jax.device_put(shard, dev))
+                key = f"s{i}__{_shard_key(idx)}"
+                assert key in z, (
+                    f"leaf {i}: shard {key} missing from checkpoint — "
+                    f"restore sharding does not match save sharding"
+                )
+                arrs.append(jax.device_put(z[key], dev))
             out.append(
                 jax.make_array_from_single_device_arrays(
                     shape, x.sharding, arrs

@@ -125,6 +125,27 @@ def test_scan_chunks_shapes_and_padding(tmp_path, small_ds):
     assert last_nb is not None
 
 
+def test_scan_chunks_no_drop_covers_every_row(tmp_path, small_ds):
+    """drop_remainder=False on the scan path: the <batch drain tail is
+    emitted as a weight-0-padded batch, not silently dropped (ADVICE r4)."""
+    ds = small_ds
+    paths = _write_shards(tmp_path, ds, n_shards=2)
+    for T in (4, 3):  # exercise both tail-in-partial-chunk and tail-in-full
+        src = StreamSource(paths=paths, schema=ds.schema, batch_size=512,
+                           buffer_rows=1024, seed=0, drop_remainder=False)
+        got_ids, got_y = [], []
+        for nb, (ids_t, y_t, w_t) in src.scan_chunks(0, scan_steps=T):
+            keep = w_t.reshape(-1) > 0
+            got_ids.append(ids_t.reshape(-1, ds.schema.num_slots)[keep])
+            got_y.append(y_t.reshape(-1)[keep])
+            assert np.all(w_t[nb:] == 0.0)
+        got_ids = np.concatenate(got_ids)
+        got_y = np.concatenate(got_y)
+        assert got_ids.shape[0] == ds.ids.shape[0]
+        assert _row_multiset(got_ids, got_y) == _row_multiset(ds.ids, ds.labels)
+        assert src.stats.rows_emitted == ds.ids.shape[0]
+
+
 def test_stream_glob_and_comma_expansion(tmp_path, small_ds):
     paths = _write_shards(tmp_path, small_ds, n_shards=3)
     by_glob = expand_shards(str(tmp_path / "shard_*.yx"))
