@@ -17,7 +17,7 @@ def test_two_process_dcn_trajectory_matches_single_process():
     env.pop("XLA_FLAGS", None)  # launcher/workers set their own device count
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost_sim.py")],
-        env=env, capture_output=True, text=True, timeout=800,
+        env=env, capture_output=True, text=True, timeout=1500,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIHOST SIM OK" in out.stdout, out.stdout + out.stderr
@@ -33,3 +33,8 @@ def test_two_process_dcn_trajectory_matches_single_process():
     # hostshards, is interrupted, resumes, and matches the uninterrupted
     # single-process CLI run (covers cli.py's multi-controller branches)
     assert "MULTIHOST CLI OK" in out.stdout, out.stdout + out.stderr
+    # phase 5: the PRODUCTION shape in one run (VERDICT r4 Missing #6) —
+    # cli.run + data.stream (disjoint per-process shards) + FNN split plan
+    # + cf=1.25 + bf16 wire + scan/prefetch + hostshards interrupt/resume;
+    # resumed epoch must equal the uninterrupted 2-process cluster run
+    assert "MULTIHOST STREAM-CLI OK" in out.stdout, out.stdout + out.stderr
