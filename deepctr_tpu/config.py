@@ -59,7 +59,7 @@ class DataConfig:
     # planted process for synthetic data (data/synthetic.py): "fm" anchors
     # parity to the reference reproduction; "mlp" plants higher-order
     # structure so the paper's deep>shallow ordering is demonstrable
-    synthetic_teacher: str = "fm"      # fm | mlp
+    synthetic_teacher: str = "fm"      # fm | mlp | ortho
     test_fraction: float = 0.15        # used when test_path is None
     use_cache: bool = True
     use_native_parser: bool = True
