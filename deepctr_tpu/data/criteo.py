@@ -106,3 +106,105 @@ def parse_criteo_file(
             pass
     with open(path, "rb") as f:
         return parse_criteo_lines(f.read().splitlines(), schema)
+
+
+def write_synth_criteo_file(
+    path: str,
+    num_rows: int,
+    schema: Schema | None = None,
+    seed: int = 0,
+    tokens_per_cat: int = 2000,
+    k: int = 4,
+    base_ctr: float = 0.2,
+    noise: float = 0.5,
+) -> Schema:
+    """Synthetic raw-format Criteo TSV with a PLANTED FM teacher.
+
+    The environment ships no real Criteo data (SURVEY.md §0, zero egress),
+    so scale rehearsals on the Criteo lane (BASELINE.json:11 stretch) use
+    this writer: Zipf-popular hex-ish categorical tokens and heavy-tailed
+    integers, with labels sampled from an FM teacher over the HASHED id
+    space — exactly what a model consuming this file can learn — so
+    held-out AUC is a meaningful quality signal, not noise.  ~15% of every
+    column is blank (the raw format's missingness).  Returns the schema the
+    teacher was planted against (same object shape as ``criteo_schema()``).
+    """
+    schema = schema or criteo_schema()
+    cat_buckets = schema.fields[NUM_INT].vocab_size
+    offsets = schema.offsets
+    rng = np.random.default_rng(seed)
+
+    # token universes per categorical column; ids precomputed through the
+    # same hash trick the parser applies, so the planted teacher sees the
+    # ids a trained model will see
+    cat_tokens: list[np.ndarray] = []
+    cat_ids: list[np.ndarray] = []
+    cat_probs: list[np.ndarray] = []
+    for j in range(NUM_CAT):
+        toks = np.array(
+            [f"{rng.integers(0, 1 << 32):08x}" for _ in range(tokens_per_cat)]
+        )
+        ids = np.array(
+            [offsets[NUM_INT + j] + fnv1a64(t.encode()) % cat_buckets
+             for t in toks],
+            np.int64,
+        )
+        ranks = np.arange(1, tokens_per_cat + 1, dtype=np.float64)
+        p = ranks ** -1.05
+        rng.shuffle(p)
+        cat_tokens.append(toks)
+        cat_ids.append(ids)
+        cat_probs.append(p / p.sum())
+
+    # integer columns: heavy-tailed counts; bucket ids via the parser's rule
+    int_vals = rng.integers(0, 10_000, size=(num_rows, NUM_INT))
+    int_vals = (np.exp(rng.normal(2.0, 2.0, size=(num_rows, NUM_INT)))
+                ).astype(np.int64)
+    int_missing = rng.random((num_rows, NUM_INT)) < 0.15
+    int_buckets = np.minimum(
+        np.floor(np.log(int_vals + 1.0) ** 2).astype(np.int64) + 3,
+        _INT_BUCKETS - 1,
+    )
+    int_buckets[int_missing] = 0
+
+    cat_choice = np.empty((num_rows, NUM_CAT), np.int64)
+    cat_missing = rng.random((num_rows, NUM_CAT)) < 0.15
+    for j in range(NUM_CAT):
+        cat_choice[:, j] = rng.choice(tokens_per_cat, size=num_rows,
+                                      p=cat_probs[j])
+
+    ids = np.empty((num_rows, NUM_INT + NUM_CAT), np.int64)
+    for i in range(NUM_INT):
+        ids[:, i] = offsets[i] + int_buckets[:, i]
+    for j in range(NUM_CAT):
+        ids[:, NUM_INT + j] = np.where(
+            cat_missing[:, j], offsets[NUM_INT + j],
+            cat_ids[j][cat_choice[:, j]],
+        )
+
+    # planted FM teacher over the hashed vocab
+    V = schema.vocab_size
+    w = rng.normal(0.0, 0.3, size=V + 1).astype(np.float32)
+    v = rng.normal(0.0, 0.3 / np.sqrt(k), size=(V + 1, k)).astype(np.float32)
+    lin = w[ids].sum(axis=1)
+    vv = v[ids]
+    s = vv.sum(axis=1)
+    sq = (vv * vv).sum(axis=1)
+    z = lin + 0.5 * (s * s - sq).sum(axis=1)
+    z = (z - z.mean()) / (z.std() + 1e-9)
+    b0 = float(np.log(base_ctr / (1 - base_ctr)))
+    logits = b0 + 1.5 * z + rng.normal(0.0, noise, size=num_rows)
+    labels = (rng.random(num_rows) < 1.0 / (1.0 + np.exp(-logits))).astype(
+        np.int32
+    )
+
+    with open(path, "w") as f:
+        for r in range(num_rows):
+            cols = [str(labels[r])]
+            for i in range(NUM_INT):
+                cols.append("" if int_missing[r, i] else str(int_vals[r, i]))
+            for j in range(NUM_CAT):
+                cols.append("" if cat_missing[r, j]
+                            else cat_tokens[j][cat_choice[r, j]])
+            f.write("\t".join(cols) + "\n")
+    return schema

@@ -237,6 +237,147 @@ def bench_stream(results):
           f"rows/s σ {np.std(nrates):,.0f}")
 
 
+def bench_criteo_stream(results):
+    """Criteo-format streaming throughput, both lanes (VERDICT r4 Missing
+    #4 support): the stretch contract is a Criteo-scale hash space
+    (BASELINE.json:11) and its production path is TSV -> native
+    criteo_parse -> hash trick -> stream.  Same protocol as bench_stream
+    (median of 5 steady-state epochs, sigma reported)."""
+    from deepctr_tpu.data import StreamSource
+    from deepctr_tpu.data.criteo import criteo_schema, write_synth_criteo_file
+
+    schema = criteo_schema()
+    n_shards, per = 8, 100_000
+    paths = []
+    for i in range(n_shards):
+        p = f"/tmp/bench_criteo_{i}.tsv"
+        if not os.path.exists(p):
+            write_synth_criteo_file(p, per, schema=schema, seed=100 + i)
+        paths.append(p)
+    size_mb = sum(os.path.getsize(p) for p in paths) / 1e6
+
+    def epoch_rate(pp, epoch, fmt):
+        src = StreamSource(paths=pp, schema=schema, batch_size=8192,
+                           fmt=fmt, buffer_rows=1 << 18, seed=0)
+        t0 = time.perf_counter()
+        rows = sum(b.ids.shape[0] for b in src.batches(epoch))
+        return rows / (time.perf_counter() - t0)
+
+    epoch_rate(paths, 0, "criteo")  # page-cache warmup
+    rates = [epoch_rate(paths, e, "criteo") for e in range(1, 6)]
+    results["criteo_stream_rows_per_s"] = float(np.median(rates))
+    results["criteo_stream_rows_per_s_sigma"] = float(np.std(rates))
+    results["criteo_stream_mb_per_s"] = (
+        float(np.median(rates)) * size_mb / (n_shards * per))
+    print(f"criteo stream: median {np.median(rates):,.0f} rows/s "
+          f"σ {np.std(rates):,.0f} "
+          f"({results['criteo_stream_mb_per_s']:.0f} MB/s text)")
+
+    from deepctr_tpu.data.cache import cache_text_file
+
+    npz_paths = [cache_text_file(p, schema, fmt="criteo") for p in paths]
+    epoch_rate(npz_paths, 0, "criteo")
+    nrates = [epoch_rate(npz_paths, e, "criteo") for e in range(1, 6)]
+    results["criteo_stream_npz_rows_per_s"] = float(np.median(nrates))
+    results["criteo_stream_npz_rows_per_s_sigma"] = float(np.std(nrates))
+    print(f"criteo stream npz: median {np.median(nrates):,.0f} rows/s "
+          f"σ {np.std(nrates):,.0f}")
+
+
+def bench_parser_scaling(results):
+    """1-vs-2 parser-thread scaling on THIS host (VERDICT r4 Weak #2): the
+    text lane's thread-per-file design claims multi-core scaling; this
+    measures the slope that exists here.  Two equal shards are parsed
+    back-to-back on one thread, then concurrently on two (the C++ parser
+    releases the GIL), median of 5."""
+    import threading
+
+    from deepctr_tpu.data import ipinyou_like_schema, native, synthetic
+
+    schema = ipinyou_like_schema()
+    per = 300_000
+    paths = []
+    for i in range(2):
+        p = f"/tmp/bench_pscale_{i}.yx"
+        if not os.path.exists(p):
+            ds = synthetic.generate(schema, num_examples=per, k=2,
+                                    seed=40 + i)
+            synthetic.write_yx_file(ds, p)
+        paths.append(p)
+    blobs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            blobs.append(f.read())
+    native.parse_yx_bytes(blobs[0], schema)  # build/warm the library
+
+    def serial():
+        t0 = time.perf_counter()
+        for b in blobs:
+            native.parse_yx_bytes(b, schema)
+        return time.perf_counter() - t0
+
+    def parallel2():
+        ts = [threading.Thread(target=native.parse_yx_bytes,
+                               args=(b, schema)) for b in blobs]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return time.perf_counter() - t0
+
+    s = [serial() for _ in range(5)]
+    p2 = [parallel2() for _ in range(5)]
+    results["parser_2thread_speedup"] = float(np.median(s) / np.median(p2))
+    print(f"parser thread scaling: serial {np.median(s):.2f}s, "
+          f"2-thread {np.median(p2):.2f}s -> "
+          f"speedup {results['parser_2thread_speedup']:.2f}x "
+          f"(2-CPU host; ideal 2.0)")
+
+
+def bench_serving_quality(results):
+    """Full-vocab serving quality at the parity standard (VERDICT r4 Weak
+    #4): train the headline FNN briefly on planted-teacher data, then score
+    a held-out set with the f32 / bf16 / int8 Scorer and record each mode's
+    AUC.  The int8 word-packed mode is the shipped fastest serving mode;
+    its |ΔAUC| vs f32 must sit within the ±0.002 parity band
+    (gated in tests/test_artifacts.py via the keys written here)."""
+    import jax
+    import optax
+
+    from deepctr_tpu.data import ipinyou_full_schema, synthetic
+    from deepctr_tpu.models import MlpSpec, make_fnn
+    from deepctr_tpu.optim import SparseAdagrad
+    from deepctr_tpu.serving import Scorer
+    from deepctr_tpu.train import fit
+    from deepctr_tpu.utils.metrics import exact_auc
+
+    schema = ipinyou_full_schema()
+    ds = synthetic.generate(schema, num_examples=600_000, k=4, seed=21)
+    n = len(ds.labels)
+    tr, te = slice(0, n - 100_000), slice(n - 100_000, n)
+    model = make_fnn(schema, k=10,
+                     mlp=MlpSpec(hidden=(200, 300, 100), dropout=0.5))
+    res = fit(model, schema, ds.ids[tr], ds.labels[tr], ds.ids[te],
+              ds.labels[te], sparse_opt=SparseAdagrad(0.05),
+              dense_opt=optax.adagrad(0.02), batch_size=8192, epochs=2,
+              seed=0, early_stop_patience=99)
+    table = np.asarray(res.state.table, np.float32)
+    dense = jax.tree_util.tree_map(np.asarray, res.state.dense)
+    for mode in (None, "bf16", "int8"):
+        scorer = Scorer(model=model, schema=schema, table=table, dense=dense,
+                        batch_size=8192, quantize=mode)
+        scores = scorer.logits(ds.ids[te])
+        auc = exact_auc(ds.labels[te], np.asarray(scores))
+        results[f"serving_auc/{mode or 'f32'}"] = float(auc)
+        print(f"serving quality {mode or 'f32'}: AUC {auc:.4f} "
+              f"(train best {res.best_auc:.4f})")
+    for mode in ("bf16", "int8"):
+        d = results[f"serving_auc/{mode}"] - results["serving_auc/f32"]
+        results[f"serving_auc_delta/{mode}"] = float(d)
+        print(f"  Δ{mode} = {d:+.4f} (band ±0.002)")
+
+
 def bench_headline_repeats(results, reps: int = 5):
     """Settle the training headline with the serving-grade protocol
     (VERDICT r3 Weak #2): N interleaved single-process repeats of the three
@@ -648,8 +789,9 @@ def main():
     ap.add_argument(
         "--sections", default="parser,models,full,lookup,serving,stream",
         help="comma list: parser,models,full,lookup,serving,stream,"
-        "streamtrain,h2d,batch (run big sections in separate invocations; "
-        "results accumulate in BENCH.json)",
+        "criteostream,parserscale,servingquality,streamtrain,h2d,batch "
+        "(run big sections in separate invocations; results accumulate in "
+        "BENCH.json)",
     )
     args = ap.parse_args()
     sections = set(args.sections.split(","))
@@ -679,6 +821,12 @@ def main():
         bench_serving(results)
     if "stream" in sections:
         bench_stream(results)
+    if "criteostream" in sections:
+        bench_criteo_stream(results)
+    if "parserscale" in sections:
+        bench_parser_scaling(results)
+    if "servingquality" in sections:
+        bench_serving_quality(results)
     if "streamtrain" in sections:
         bench_stream_train(results)
     if "h2d" in sections:
@@ -714,7 +862,10 @@ def main():
         for k, v in results.items():
             v_str = f"{v:,.0f}" if isinstance(v, (int, float)) else str(v)
             f.write(f"| {k} | {v_str} |\n")
-        f.write(f"\nGenerated by tools/bench_suite.py at {time.ctime()}.\n")
+        from deepctr_tpu.utils.artifacts import protocol_stamp
+
+        f.write(f"\nGenerated by tools/bench_suite.py at {time.ctime()}. "
+                f"{protocol_stamp('tools/bench_suite.py')}\n")
         f.write(roofline)
     print(f"wrote {out}")
     print(json.dumps({k: (round(v, 1) if isinstance(v, (int, float)) else v)
