@@ -23,6 +23,7 @@ def test_reproduce_tool_family_table(tmp_path):
         "--epochs", "1",
         "--batch", "256",
         "--no-convergence-study",      # smoke: skip the extra tables
+        "--no-tuned",                  # smoke: skip the per-model grids
         "--out", str(out),
     ])
     text = out.read_text()
