@@ -117,6 +117,7 @@ def write_synth_criteo_file(
     k: int = 4,
     base_ctr: float = 0.2,
     noise: float = 0.5,
+    teacher_seed: int | None = None,
 ) -> Schema:
     """Synthetic raw-format Criteo TSV with a PLANTED FM teacher.
 
@@ -128,10 +129,18 @@ def write_synth_criteo_file(
     held-out AUC is a meaningful quality signal, not noise.  ~15% of every
     column is blank (the raw format's missingness).  Returns the schema the
     teacher was planted against (same object shape as ``criteo_schema()``).
+
+    ``teacher_seed`` (default: ``seed``) draws the token universes and the
+    planted FM independently of the row draws, so a multi-shard corpus
+    uses ONE consistent teacher (same teacher_seed) with disjoint rows
+    (per-shard seed).
     """
     schema = schema or criteo_schema()
     cat_buckets = schema.fields[NUM_INT].vocab_size
     offsets = schema.offsets
+    rng_t = np.random.default_rng(
+        seed if teacher_seed is None else teacher_seed
+    )
     rng = np.random.default_rng(seed)
 
     # token universes per categorical column; ids precomputed through the
@@ -142,7 +151,8 @@ def write_synth_criteo_file(
     cat_probs: list[np.ndarray] = []
     for j in range(NUM_CAT):
         toks = np.array(
-            [f"{rng.integers(0, 1 << 32):08x}" for _ in range(tokens_per_cat)]
+            [f"{rng_t.integers(0, 1 << 32):08x}"
+             for _ in range(tokens_per_cat)]
         )
         ids = np.array(
             [offsets[NUM_INT + j] + fnv1a64(t.encode()) % cat_buckets
@@ -151,7 +161,7 @@ def write_synth_criteo_file(
         )
         ranks = np.arange(1, tokens_per_cat + 1, dtype=np.float64)
         p = ranks ** -1.05
-        rng.shuffle(p)
+        rng_t.shuffle(p)
         cat_tokens.append(toks)
         cat_ids.append(ids)
         cat_probs.append(p / p.sum())
@@ -184,8 +194,9 @@ def write_synth_criteo_file(
 
     # planted FM teacher over the hashed vocab
     V = schema.vocab_size
-    w = rng.normal(0.0, 0.3, size=V + 1).astype(np.float32)
-    v = rng.normal(0.0, 0.3 / np.sqrt(k), size=(V + 1, k)).astype(np.float32)
+    w = rng_t.normal(0.0, 0.3, size=V + 1).astype(np.float32)
+    v = rng_t.normal(0.0, 0.3 / np.sqrt(k),
+                     size=(V + 1, k)).astype(np.float32)
     lin = w[ids].sum(axis=1)
     vv = v[ids]
     s = vv.sum(axis=1)
