@@ -412,9 +412,18 @@ def _write_stream_cli_data(data_dir: str) -> None:
 
 
 def worker_cli_stream(process_id: int, port: int, data_dir: str, epochs: int,
-                      ckpt: str) -> None:
+                      ckpt: str, alt: str = "std") -> None:
     """Phase 5 worker: cli.run with streaming + split + bf16 wire +
-    hostshards under the 2-process cluster."""
+    hostshards under the 2-process cluster.
+
+    ``alt`` selects the input path through _run_sharded — every pc>1
+    stream path must yield the IDENTICAL trajectory (same stream, same
+    per-batch updates; only the staging differs):
+      std       scan-fused + DevicePrefetcher(process_axis=1)
+      scan_np   scan-fused, no prefetch (assemble_process_local on chunks)
+      noscan_p  per-batch dispatch + DevicePrefetcher(process_axis=0)
+      noscan_np per-batch dispatch, assemble_process_local per batch
+    """
     import jax
 
     jax.distributed.initialize(
@@ -425,8 +434,12 @@ def worker_cli_stream(process_id: int, port: int, data_dir: str, epochs: int,
     from deepctr_tpu.cli import run
     from deepctr_tpu.config import RunConfig
 
-    res = run(RunConfig.from_dict(
-        _stream_cli_config(data_dir, epochs, ckpt or None)))
+    cfg = _stream_cli_config(data_dir, epochs, ckpt or None)
+    if alt in ("scan_np", "noscan_np"):
+        cfg["train"]["prefetch"] = False
+    if alt in ("noscan_p", "noscan_np"):
+        cfg["train"]["scan_steps"] = 1
+    res = run(RunConfig.from_dict(cfg))
     print("RESULT " + json.dumps({
         "pid": process_id, "best_auc": res["best_auc"],
         "history": [
@@ -662,23 +675,39 @@ def launch() -> int:
     ckpt_a = os.path.join(s5_dir, "uninterrupted.ckpt")
     ckpt_b = os.path.join(s5_dir, "interrupted.ckpt")
 
-    def spawn_cli_stream(epochs, prt, ck):
+    def spawn_cli_stream(epochs, prt, ck, alt="std"):
         return [
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
                  "worker-cli-stream", str(i), str(prt), s5_dir, str(epochs),
-                 ck],
+                 ck, alt],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True,
             )
             for i in range(NUM_PROC)
         ]
 
-    deadline = time.time() + 600
+    deadline = time.time() + 900
     r_full = collect(spawn_cli_stream(3, port3 + 4, ckpt_a))
     r_part = collect(spawn_cli_stream(2, port3 + 5, ckpt_b))
     assert os.path.isdir(ckpt_b + ".hostshards"), "hostshards not written"
-    r_res = collect(spawn_cli_stream(3, port3 + 6, ckpt_b))
+    # resume once per multi-controller input path: the stream is
+    # (seed, epoch)-deterministic, so every staging variant must land the
+    # SAME epoch-2 trajectory (each leg resumes from its own copy of the
+    # epoch-2 hostshards — a resumed run rewrites them at its end)
+    import shutil
+
+    alts = ("std", "scan_np", "noscan_p", "noscan_np")
+    cks = {}
+    for alt in alts:  # snapshot the epoch-2 shards BEFORE any resume runs
+        cks[alt] = (ckpt_b if alt == "std"
+                    else os.path.join(s5_dir, f"r_{alt}.ckpt"))
+        if alt != "std":
+            shutil.copytree(ckpt_b + ".hostshards", cks[alt] + ".hostshards")
+    resumes = {}
+    for i, alt in enumerate(alts):
+        resumes[alt] = collect(spawn_cli_stream(3, port3 + 6 + i, cks[alt],
+                                                alt))
 
     for pid in range(NUM_PROC):
         full = {h["epoch"]: h for h in r_full[pid]["history"]}
@@ -687,12 +716,16 @@ def launch() -> int:
             for k in ("train_loss", "auc", "logloss"):
                 np.testing.assert_allclose(h[k], full[h["epoch"]][k],
                                            rtol=1e-4)
-        # the resumed run trains exactly epoch 2 and matches it too
-        res_hist = r_res[pid]["history"]
-        assert [h["epoch"] for h in res_hist] == [2], res_hist
-        for k in ("train_loss", "auc", "logloss"):
-            np.testing.assert_allclose(res_hist[0][k], full[2][k], rtol=1e-4)
-        assert res_hist[0].get("dropped_ids") == full[2].get("dropped_ids")
+        # every resumed variant trains exactly epoch 2 and matches it
+        for alt, r_res in resumes.items():
+            res_hist = r_res[pid]["history"]
+            assert [h["epoch"] for h in res_hist] == [2], (alt, res_hist)
+            for k in ("train_loss", "auc", "logloss"):
+                np.testing.assert_allclose(res_hist[0][k], full[2][k],
+                                           rtol=1e-4, err_msg=alt)
+            assert res_hist[0].get("dropped_ids") == full[2].get(
+                "dropped_ids"), alt
+    res_hist = resumes["std"][0]["history"]
 
     # statistical band vs the single-process streaming CLI (different batch
     # composition, same data/model/recipe): final AUC must agree as a
@@ -722,6 +755,7 @@ if __name__ == "__main__":
                    int(sys.argv[5]), sys.argv[6])
     elif len(sys.argv) > 1 and sys.argv[1] == "worker-cli-stream":
         worker_cli_stream(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
-                          int(sys.argv[5]), sys.argv[6])
+                          int(sys.argv[5]), sys.argv[6],
+                          sys.argv[7] if len(sys.argv) > 7 else "std")
     else:
         sys.exit(launch())
