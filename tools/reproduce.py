@@ -340,7 +340,8 @@ def main(argv=None):
         ))
         sections.append(
             "**Why this substrate (teacher=ortho), and what the round-5 "
-            "negative results established (measured, see git history):** "
+            "negative results established (measured; reproducible via "
+            "`python tools/substrate_lab.py --exp all`):** "
             "the round-4 mlp-teacher leaks most of its deep tier's "
             "variance into low-order ANOVA components, so a TUNED LR "
             "converges to ~the full learnable signal (measured LR-Adagrad "
