@@ -390,3 +390,42 @@ def test_cli_load_data_featindex(tmp_path):
     assert [f.name for f in schema.fields][:3] == ["truncate", "weekday", "hour"]
     assert tr_ids.shape[0] == 3 and te_ids.shape[0] == 1
     assert tr_ids.shape[1] == schema.num_slots
+
+
+def test_ortho_teacher_pairwise_tier_has_zero_first_order_anova():
+    """The ortho substrate's central claim, checked mechanically: with the
+    linear tier off (ortho_mix a=0), the per-feature conditional means of
+    the Bayes logits are ~0 for EVERY feature — no amount of LR training
+    can extract the interaction tier, because its first-order ANOVA
+    components vanish under the sampling marginals (RESULTS.md substrate
+    note; the property the headline ordering rests on)."""
+    from deepctr_tpu.data import ipinyou_like_schema
+
+    schema = ipinyou_like_schema()
+    n = 200_000
+    ds = synthetic.generate(schema, num_examples=n, seed=3, teacher="ortho",
+                            ortho_mix=(0.0, 1.0, 0.0))
+    z = ds.bayes_logits - ds.bayes_logits.mean()
+    sigma_z = z.std()
+    V = schema.vocab_size
+    sums = np.zeros(V + 1)
+    cnts = np.zeros(V + 1)
+    np.add.at(sums, ds.ids.reshape(-1), np.repeat(z, schema.num_slots))
+    np.add.at(cnts, ds.ids.reshape(-1), 1.0)
+    seen = cnts >= 200  # enough observations for a tight mean estimate
+    seen[schema.pad_id] = False
+    assert seen.sum() > 100
+    cond_mean = sums[seen] / cnts[seen]
+    # sampling envelope: each conditional mean is ~N(0, sigma_z^2 / n_v)
+    bound = 6.0 * sigma_z / np.sqrt(cnts[seen])
+    assert (np.abs(cond_mean) < bound).all(), (
+        np.abs(cond_mean / bound).max())
+    # and the linear tier (a=1, b=0) is NOT centered — the check has power
+    ds_lin = synthetic.generate(schema, num_examples=n, seed=3,
+                                teacher="ortho", ortho_mix=(1.0, 0.0, 0.0))
+    zl = ds_lin.bayes_logits - ds_lin.bayes_logits.mean()
+    sums_l = np.zeros(V + 1)
+    np.add.at(sums_l, ds_lin.ids.reshape(-1), np.repeat(zl, schema.num_slots))
+    cm_l = sums_l[seen] / cnts[seen]
+    bound_l = 6.0 * zl.std() / np.sqrt(cnts[seen])
+    assert (np.abs(cm_l) > bound_l).mean() > 0.5  # most features carry signal
